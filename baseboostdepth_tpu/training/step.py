@@ -1,0 +1,374 @@
+"""The jitted training step: augmentation -> depth + pose forward -> static
+candidate-slot warping -> min-reprojection loss -> Adam update.
+
+This is the TPU re-design of the reference's per-batch pipeline
+(process_batch trainer.py:286-298, predict_poses trainer.py:310-419,
+generate_images_pred trainer.py:444-475, compute_losses trainer.py:488-570 +
+x_min_opt trainer.py:983-1100). Differences by design:
+
+- All shapes are static per curriculum stage (StepStatic); the step compiles
+  exactly once per stage (two stages over a 20-epoch run) instead of the
+  reference's per-batch graph rebuilding.
+- Every pose pair needed by the stage (step pairs for chaining, direct pairs
+  for partial replacement / the direct path) is stacked on the batch axis and
+  sent through ONE pose-net call -- a single large conv workload for the MXU
+  rather than many ragged sub-batch launches.
+- Pose chaining (incremental_skip) is an unrolled cumulative 4x4 matmul over
+  the step axis (geometry.compose_poses). NOTE: the reference's chained
+  composition for negative offsets never executes its accumulation loop
+  (trainer.py:364 `range(f_i, 0, -1)` is empty for f_i < 0), silently leaving
+  those long-jump poses at identity; we chain negative offsets properly --
+  the mathematically intended behavior.
+- Partial pose replacement is a masked column splice (chained rotation +
+  direct translation) instead of a python list rebuild (trainer.py:407-418).
+  The reference keeps the chained pose for samples whose ordering max equals
+  |f|+2; in slot space that is exactly slots 4/5 (+-(f-2)), encoded in
+  batch['slot_partial'].
+- Error-induced poses (decomp): stop_gradient(chained pose) with translation
+  divided by pose_error, built BEFORE partial replacement, matching the
+  reference's op order (trainer.py:375-377 then 407-418).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from baseboostdepth_tpu import geometry, losses
+from baseboostdepth_tpu.data.augment import apply_flip, color_jitter
+from baseboostdepth_tpu.models import DEPTH_IS_METRIC, build_depth_net, build_pose_net
+from baseboostdepth_tpu.ops import bilinear_sample
+from baseboostdepth_tpu.ops.resize import lanczos_pyramid, resize_bilinear
+
+
+# --------------------------------------------------------------------------
+# Static step configuration (hashable; one jit specialization per value).
+# --------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class StepStatic:
+    zoo: str = "md2"
+    num_layers: int = 18
+    height: int = 192
+    width: int = 640
+    F: int = 2  # stage-wide max temporal offset (NF = 2F + 2)
+    scales: Tuple[int, ...] = (0, 1, 2, 3)
+    trimin: bool = True
+    incremental: bool = False  # chained poses active this stage
+    partial: bool = False
+    decomp: bool = True
+    pose_error: float = 5.5
+    use_ssim: bool = True
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    smooth_weight: float = 1e-3
+    dtype: str = "float32"
+
+    @property
+    def metric_depth(self) -> bool:
+        return self.zoo in DEPTH_IS_METRIC
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any  # {'depth': ..., 'pose': ...}
+    stats: Any  # {'depth': batch_stats, 'pose': batch_stats}
+    opt_state: Any
+
+
+def build_networks(st: StepStatic):
+    depth_net = build_depth_net(
+        st.zoo, num_layers=st.num_layers, scales=st.scales, dtype=st.compute_dtype
+    )
+    pose_net = build_pose_net(dtype=st.compute_dtype)
+    return depth_net, pose_net
+
+
+def init_state(
+    st: StepStatic, optimizer: optax.GradientTransformation, rng: jax.Array
+) -> TrainState:
+    depth_net, pose_net = build_networks(st)
+    rd, rp = jax.random.split(rng)
+    dvars = depth_net.init(rd, jnp.zeros((1, st.height, st.width, 3)), train=False)
+    pvars = pose_net.init(rp, jnp.zeros((1, st.height, st.width, 6)), train=False)
+    params = {"depth": dvars["params"], "pose": pvars["params"]}
+    stats = {
+        "depth": dvars.get("batch_stats", {}),
+        "pose": pvars.get("batch_stats", {}),
+    }
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        stats=stats,
+        opt_state=optimizer.init(params),
+    )
+
+
+# --------------------------------------------------------------------------
+# Pose pair table (static python -> one batched pose-net call)
+# --------------------------------------------------------------------------
+def _pose_pair_table(st: StepStatic):
+    """Static (left_frame_index, right_frame_index) blocks on the NF axis.
+
+    Incremental stage: [step+ g=1..F | step- g=1..F | dir+ g=2..F | dir-
+    g=2..F] (direct blocks only when partial replacement needs them; the g=1
+    direct poses equal the g=1 step poses). Direct stage: [dir+ g=1..F |
+    dir- g=1..F]. Pair orientation and the invert flag follow the reference
+    (trainer.py:349-360 step pairs, 380-384 / 396-402 direct pairs,
+    410-415 partial pairs): negative offsets feed (source, target) with
+    invert=True.
+    """
+    F = st.F
+    left, right = [], []
+    if st.incremental:
+        for g in range(1, F + 1):  # step+ : (g-1, g)
+            left.append(F + g - 1), right.append(F + g)
+        for g in range(1, F + 1):  # step- : (-g, -g+1), inverted
+            left.append(F - g), right.append(F - g + 1)
+        if st.partial:
+            for g in range(2, F + 1):  # dir+ : (0, g)
+                left.append(F), right.append(F + g)
+            for g in range(2, F + 1):  # dir- : (-g, 0), inverted
+                left.append(F - g), right.append(F)
+    else:
+        for g in range(1, F + 1):
+            left.append(F), right.append(F + g)
+        for g in range(1, F + 1):
+            left.append(F - g), right.append(F)
+    return np.asarray(left), np.asarray(right)
+
+
+def _pose_luts(st: StepStatic, aa: jax.Array, t: jax.Array):
+    """(axisangle, translation) [B, P, 3] -> pose lookup tables.
+
+    Returns (lut, lut_dir): [B, 2F+1, 4, 4] with index o+F = T(0 -> o)
+    (offset 0 = identity). lut holds the primary poses (chained under
+    incremental, direct otherwise); lut_dir holds direct poses (for partial
+    replacement) or None.
+    """
+    B = aa.shape[0]
+    F = st.F
+    eye = jnp.broadcast_to(jnp.eye(4), (B, 1, 4, 4))
+
+    def lut_from(pos, neg):
+        # pos[:, g-1] = T(0 -> g), neg[:, g-1] = T(0 -> -g)
+        return jnp.concatenate([jnp.flip(neg, axis=1), eye, pos], axis=1)
+
+    if st.incremental:
+        step_pos = geometry.transformation_from_parameters(aa[:, :F], t[:, :F], invert=False)
+        step_neg = geometry.transformation_from_parameters(aa[:, F : 2 * F], t[:, F : 2 * F], invert=True)
+        chain_pos = geometry.compose_poses(step_pos)
+        chain_neg = geometry.compose_poses(step_neg)
+        lut = lut_from(chain_pos, chain_neg)
+        lut_dir = None
+        if st.partial:
+            k = 2 * F
+            dir_pos = geometry.transformation_from_parameters(
+                aa[:, k : k + F - 1], t[:, k : k + F - 1], invert=False
+            )
+            dir_neg = geometry.transformation_from_parameters(
+                aa[:, k + F - 1 :], t[:, k + F - 1 :], invert=True
+            )
+            # g=1 direct == g=1 step
+            dir_pos = jnp.concatenate([step_pos[:, :1], dir_pos], axis=1)
+            dir_neg = jnp.concatenate([step_neg[:, :1], dir_neg], axis=1)
+            lut_dir = lut_from(dir_pos, dir_neg)
+    else:
+        dir_pos = geometry.transformation_from_parameters(aa[:, :F], t[:, :F], invert=False)
+        dir_neg = geometry.transformation_from_parameters(aa[:, F:], t[:, F:], invert=True)
+        lut = lut_from(dir_pos, dir_neg)
+        lut_dir = None
+    return lut, lut_dir
+
+
+def _gather_slots(lut: jax.Array, slot_offset: jax.Array, F: int) -> jax.Array:
+    """lut [B, 2F+1, 4, 4], slot_offset [B, 6] -> [B, 6, 4, 4]."""
+    idx = (slot_offset + F)[:, :, None, None]
+    return jnp.take_along_axis(lut, idx, axis=1)
+
+
+# --------------------------------------------------------------------------
+# Loss forward (shared by train and the synthetic tests)
+# --------------------------------------------------------------------------
+def loss_forward(
+    params,
+    stats,
+    batch: Dict[str, jax.Array],
+    noise_key: jax.Array,
+    st: StepStatic,
+    train: bool = True,
+):
+    """Returns (total_loss, (metrics, new_stats))."""
+    depth_net, pose_net = build_networks(st)
+    H, W, F = st.height, st.width, st.F
+    NF = 2 * F + 2
+
+    frames = batch["frames"]
+    color = frames.astype(jnp.float32) / 255.0 if frames.dtype == jnp.uint8 else frames
+    color = apply_flip(color, batch["flip"])
+    aug = color_jitter(color, batch["jitter"])
+
+    B = color.shape[0]
+    cdt = st.compute_dtype
+
+    # ---- depth forward on the augmented target frame ----
+    dvars = {"params": params["depth"], "batch_stats": stats["depth"]}
+    if train:
+        disps, dmut = depth_net.apply(
+            dvars, aug[:, F].astype(cdt), train=True, mutable=["batch_stats"]
+        )
+        new_dstats = dmut["batch_stats"]
+    else:
+        disps = depth_net.apply(dvars, aug[:, F].astype(cdt), train=False)
+        new_dstats = stats["depth"]
+
+    # ---- one batched pose-net call over every pair the stage needs ----
+    left, right = _pose_pair_table(st)
+    pairs = jnp.concatenate([aug[:, left], aug[:, right]], axis=-1)  # [B,P,H,W,6]
+    P = pairs.shape[1]
+    flat = pairs.reshape((B * P, H, W, 6)).astype(cdt)
+    pvars = {"params": params["pose"], "batch_stats": stats["pose"]}
+    if train:
+        (aa, t), pmut = pose_net.apply(pvars, flat, train=True, mutable=["batch_stats"])
+        new_pstats = pmut["batch_stats"]
+    else:
+        aa, t = pose_net.apply(pvars, flat, train=False)
+        new_pstats = stats["pose"]
+    aa = aa.reshape(B, P, 3).astype(jnp.float32)
+    t = t.reshape(B, P, 3).astype(jnp.float32)
+
+    lut, lut_dir = _pose_luts(st, aa, t)
+    T_chain = _gather_slots(lut, batch["slot_offset"], F)  # [B, 6, 4, 4]
+
+    # error poses from the pre-partial chained estimate (trainer.py:375-377)
+    T_err = None
+    if st.decomp and st.trimin:
+        T_err = jax.lax.stop_gradient(T_chain)
+        T_err = T_err.at[..., :3, 3].set(T_err[..., :3, 3] / st.pose_error)
+
+    T_slot = T_chain
+    if st.partial and lut_dir is not None:
+        T_dir = _gather_slots(lut_dir, batch["slot_offset"], F)
+        T_repl = jnp.concatenate([T_chain[..., :, :3], T_dir[..., :, 3:]], axis=-1)
+        pm = batch["slot_partial"][:, :, None, None]
+        T_slot = jnp.where(pm, T_repl, T_chain)
+
+    # all 7 slots: 6 temporal + stereo
+    T_slots = jnp.concatenate([T_slot, batch["stereo_T"][:, None]], axis=1)
+
+    # ---- slot source images & shared identity losses ----
+    src_idx = jnp.concatenate(
+        [batch["slot_offset"] + F, jnp.full((B, 1), NF - 1, jnp.int32)], axis=1
+    )  # [B, 7]
+    sources = jnp.take_along_axis(color, src_idx[:, :, None, None, None], axis=1)
+    target = color[:, F]
+    slot_valid = batch["slot_valid"]
+
+    ident_l = losses.slot_losses(target, sources, slot_valid, use_ssim=st.use_ssim)
+    noise = jax.random.normal(noise_key, (B, 1, H, W)) * 1e-5
+
+    pyramid = lanczos_pyramid(target, num_scales=max(st.scales) + 1)
+
+    K = batch["K"]
+    inv_K = batch["inv_K"]
+
+    def warp_all(depth_hw, Ts):
+        """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slots gather
+        their own source image)."""
+        S = Ts.shape[1]
+        depth_r = jnp.broadcast_to(depth_hw[:, None], (B, S, H, W)).reshape(B * S, H, W)
+        K_r = jnp.repeat(K, S, axis=0)
+        iK_r = jnp.repeat(inv_K, S, axis=0)
+        grid = geometry.warp_grid(depth_r, K_r, iK_r, Ts.reshape(B * S, 4, 4))
+        return bilinear_sample(
+            sources[:, :S].reshape(B * S, H, W, 3), grid
+        ).reshape(B, S, H, W, 3)
+
+    total = 0.0
+    metrics: Dict[str, jax.Array] = {}
+    for s in st.scales:
+        disp = disps[sorted(st.scales).index(s)]  # decoder returns finest-first
+        disp_full = disp if disp.shape[1:3] == (H, W) else resize_bilinear(disp, H, W)
+        if st.metric_depth:
+            depth = disp_full[..., 0]
+        else:
+            _, depth = geometry.disp_to_depth(disp_full[..., 0], st.min_depth, st.max_depth)
+
+        warped = warp_all(depth, T_slots)
+        warp_l = losses.slot_losses(target, warped, slot_valid, use_ssim=st.use_ssim)
+
+        err_l = None
+        if T_err is not None:
+            warped_e = warp_all(depth, T_err)
+            err_l = losses.slot_losses(
+                target, warped_e, slot_valid[:, :6], use_ssim=st.use_ssim
+            )
+
+        min_l = losses.min_reprojection(warp_l, ident_l, noise, err_l)
+        loss_s = jnp.mean(min_l)
+
+        nd = losses.normalized_disp(disp)
+        sm = losses.smooth_loss(nd, pyramid[s].astype(nd.dtype))
+        loss_s = loss_s + st.smooth_weight * sm / (2**s)
+
+        metrics[f"loss/{s}"] = loss_s
+        total = total + loss_s
+
+    total = total / len(st.scales)
+    metrics["loss"] = total
+    new_stats = {"depth": new_dstats, "pose": new_pstats}
+    return total, (metrics, new_stats)
+
+
+# --------------------------------------------------------------------------
+# The jitted update
+# --------------------------------------------------------------------------
+def make_train_step(st: StepStatic, optimizer: optax.GradientTransformation):
+    """Build train_step(state, batch, rng) -> (state, metrics), jitted with
+    state donation."""
+
+    def _step(state: TrainState, batch, rng):
+        grad_fn = jax.value_and_grad(loss_forward, has_aux=True)
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.stats, batch, rng, st, True
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return jax.jit(_step, donate_argnums=(0,))
+
+
+def make_eval_forward(st: StepStatic):
+    """Build eval_fn(params, stats, images [B,H,W,3]) -> full-res depth
+    [B,H,W] (the val()/evaluate path: disp_0 -> disp_to_depth;
+    reference trainer.py:299-307)."""
+    depth_net, _ = build_networks(st)
+
+    @jax.jit
+    def _fwd(params, stats, images):
+        dvars = {"params": params["depth"], "batch_stats": stats["depth"]}
+        disps = depth_net.apply(dvars, images.astype(st.compute_dtype), train=False)
+        disp0 = disps[0].astype(jnp.float32)
+        if st.metric_depth:
+            return disp0[..., 0]
+        _, depth = geometry.disp_to_depth(disp0[..., 0], st.min_depth, st.max_depth)
+        return depth
+
+    return _fwd

@@ -1,0 +1,173 @@
+"""Train-step tests: slot-table parity with the reference's candidate
+enumeration, a brute-force ragged oracle for the masked min, finiteness of
+both curriculum stages, and a loss-decrease smoke run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from baseboostdepth_tpu.training.batch import make_batch, num_frames, slot_table
+from baseboostdepth_tpu.training.step import (
+    StepStatic,
+    TrainState,
+    init_state,
+    loss_forward,
+    make_train_step,
+)
+from baseboostdepth_tpu import losses
+from baseboostdepth_tpu.ops.ssim import reprojection_loss
+
+
+H, W = 64, 128
+
+
+def _kitti_K(width, height):
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = 0.58 * width, 1.92 * height
+    K[0, 2], K[1, 2] = 0.5 * width, 0.5 * height
+    return K
+
+
+def _toy_batch(rng, B, F, trimin=True, f_max=None, classic=False):
+    NF = num_frames(F)
+    frames = rng.integers(0, 255, (B, NF, H, W, 3), dtype=np.uint8)
+    if f_max is None:
+        f_max = rng.integers(0, F + 1, B)
+    # replicate frame 0 into out-of-window positions (loader contract)
+    for b in range(B):
+        for o in range(-F, F + 1):
+            if abs(o) > f_max[b]:
+                frames[b, o + F] = frames[b, F]
+    K = np.broadcast_to(_kitti_K(W, H), (B, 4, 4)).copy()
+    stereo_T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    stereo_T[:, 0, 3] = 0.1
+    flip = np.zeros(B, bool)
+    jitter = np.ones((B, NF, 4), np.float32)
+    jitter[..., 3] = 0.0
+    return make_batch(frames, f_max, K, stereo_T, flip, jitter, F, trimin, True, classic)
+
+
+class TestSlotTable:
+    """Slot sets must reproduce the reference's per-max-frame candidate
+    enumeration (x_min_opt trainer.py:983-1100)."""
+
+    def test_trimin_sets(self):
+        def valid_offsets(f):
+            off, valid, _ = slot_table(f, 7, trimin=True, use_stereo=True)
+            s = {int(o) for o, v in zip(off, valid[:6]) if v}
+            return s, bool(valid[6])
+
+        assert valid_offsets(0) == (set(), True)
+        assert valid_offsets(1) == ({1, -1}, True)
+        assert valid_offsets(2) == ({2, -2, 1, -1}, True)
+        for f in range(3, 8):
+            s, stereo = valid_offsets(f)
+            assert s == {f, -f, f - 1, -(f - 1), f - 2, -(f - 2)}
+            assert not stereo
+
+    def test_non_trimin_sets(self):
+        off, valid, _ = slot_table(3, 7, trimin=False, use_stereo=True)
+        assert {int(o) for o, v in zip(off, valid[:6]) if v} == {3, -3}
+        assert not valid[6]
+        _, valid0, _ = slot_table(0, 7, trimin=False, use_stereo=True)
+        assert valid0[6] and not valid0[:6].any()
+
+    def test_partial_eligibility(self):
+        # f=5: slots 0-3 are +-5, +-4 -> replaced; slots 4,5 (+-3) keep chain
+        off, valid, part = slot_table(5, 7, trimin=True, use_stereo=True)
+        assert part.tolist() == [True, True, True, True, False, False]
+        # f=1: |off| == 1 -> never replaced (trainer.py:409 abs(f_i) > 1)
+        _, _, p1 = slot_table(1, 7, trimin=True, use_stereo=True)
+        assert not p1.any()
+
+
+class TestMinReprojectionOracle:
+    def test_masked_min_equals_bruteforce(self):
+        """Static masked min == per-sample ragged min over exactly the valid
+        candidate set."""
+        rng = np.random.default_rng(0)
+        B, S, h, w = 4, 7, 8, 10
+        warp = rng.random((B, S, h, w)).astype(np.float32)
+        ident = rng.random((B, S, h, w)).astype(np.float32)
+        err = rng.random((B, S, h, w)).astype(np.float32)
+        valid = rng.random((B, S)) > 0.4
+        valid[:, 0] = True  # every sample needs one valid candidate
+        noise = (rng.standard_normal((B, 1, h, w)) * 1e-5).astype(np.float32)
+
+        wl = np.where(valid[:, :, None, None], warp, 1e4)
+        il = np.where(valid[:, :, None, None], ident, 1e4)
+        el = np.where(valid[:, :6, None, None], err[:, :6], 1e4)
+
+        out = np.asarray(
+            losses.min_reprojection(
+                jnp.asarray(wl), jnp.asarray(il), jnp.asarray(noise), jnp.asarray(el)
+            )
+        )
+
+        for b in range(B):
+            cands = []
+            for s in range(S):
+                if valid[b, s]:
+                    cands.append(warp[b, s])
+                    cands.append(ident[b, s] + noise[b, 0])
+                    if s < 6:
+                        cands.append(err[b, s])
+            ref = np.min(np.stack(cands), axis=0)
+            np.testing.assert_allclose(out[b], ref, atol=1e-6)
+
+
+def _static(F, incremental, scales=(0,)):
+    return StepStatic(
+        zoo="md2",
+        num_layers=18,
+        height=H,
+        width=W,
+        F=F,
+        scales=scales,
+        trimin=True,
+        incremental=incremental,
+        partial=incremental,
+        decomp=True,
+        pose_error=5.5,
+    )
+
+
+class TestLossForward:
+    @pytest.mark.parametrize(
+        "F,incremental,scales",
+        [(2, False, (0, 1)), (3, True, (0,))],
+        ids=["early-stage", "late-stage"],
+    )
+    def test_finite_loss_both_stages(self, F, incremental, scales):
+        st = _static(F, incremental, scales)
+        opt = optax.adam(1e-4)
+        state = init_state(st, opt, jax.random.PRNGKey(0))
+        batch = _toy_batch(np.random.default_rng(1), 3, F)
+        batch = jax.tree.map(jnp.asarray, batch)
+        loss, (metrics, new_stats) = loss_forward(
+            state.params, state.stats, batch, jax.random.PRNGKey(2), st, True
+        )
+        assert np.isfinite(float(loss)), metrics
+        assert float(loss) < 1.0  # photometric losses live well below 1
+        for s in scales:
+            assert np.isfinite(float(metrics[f"loss/{s}"]))
+        # BN stats must actually update
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.stats, new_stats
+        )
+        assert max(jax.tree.leaves(diff)) > 0
+
+    def test_loss_decreases(self):
+        st = _static(1, False, (0,))
+        opt = optax.adam(1e-3)
+        state = init_state(st, opt, jax.random.PRNGKey(0))
+        step_fn = make_train_step(st, opt)
+        batch = jax.tree.map(jnp.asarray, _toy_batch(np.random.default_rng(3), 2, 1, f_max=np.array([1, 1])))
+        hist = []
+        for i in range(6):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            hist.append(float(metrics["loss"]))
+        assert all(np.isfinite(hist))
+        assert hist[-1] < hist[0], hist
