@@ -1,0 +1,238 @@
+"""Host-side training data loader: threaded decode/resize + prefetch.
+
+Replaces the reference's torch DataLoader worker processes
+(trainer.py:218-220) with a thread pool (PIL releases the GIL during JPEG
+decode and LANCZOS resize) and a background prefetch queue. The host does
+the minimum: decode, resize to the training resolution, stack uint8. Flip,
+color jitter, float conversion and the multi-scale pyramid all run on device
+inside the train step (data/augment.py, ops/resize.py), so the host->device
+transfer is one uint8 frame stack per batch.
+
+Per-sample contract (see training/batch.py): frames at offsets beyond the
+sample's curriculum window are replicated copies of frame 0.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+from PIL import Image
+
+from baseboostdepth_tpu.data import kitti
+from baseboostdepth_tpu.data.curriculum import Stage, sample_f_max
+from baseboostdepth_tpu.training.batch import make_batch, num_frames
+
+
+def load_resized(path: str, width: int, height: int) -> np.ndarray:
+    """Decode + LANCZOS resize -> uint8 [H, W, 3] (reference resize pipeline
+    mono_dataset.py:70-74 at scale 0; coarser scales are built on device)."""
+    with Image.open(path) as img:
+        img = img.convert("RGB").resize((width, height), Image.LANCZOS)
+        return np.asarray(img, dtype=np.uint8)
+
+
+class KittiTrainLoader:
+    """Iterable over fixed-shape training batches for one epoch.
+
+    The dataset is conceptually rebuilt each epoch (the reference recreates
+    its DataLoader per epoch to advance the curriculum, trainer.py:214-220);
+    here that is just a new KittiTrainLoader with the epoch's Stage.
+    """
+
+    def __init__(
+        self,
+        index: kitti.KittiRawIndex,
+        stage: Stage,
+        batch_size: int,
+        height: int,
+        width: int,
+        trimin: bool,
+        use_stereo: bool = True,
+        classic: bool = False,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.index = index
+        self.stage = stage
+        self.batch_size = batch_size
+        self.height = height
+        self.width = width
+        self.trimin = trimin
+        self.use_stereo = use_stereo
+        self.classic = classic
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+        self.F = stage.F
+        K, _ = kitti.intrinsics(width, height)
+        self._K = K
+
+    def __len__(self) -> int:
+        n = len(self.index)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # ---------------------------------------------------------------- sample
+    def _load_sample(self, sample_idx: int, rng: np.random.Generator):
+        s = self.index.samples[sample_idx]
+        F = self.F
+        NF = num_frames(F)
+
+        if self.classic:
+            f = 1
+        else:
+            f = sample_f_max(
+                s.baseline,
+                self.stage,
+                rng,
+                exists=lambda o: self.index.exists(s.folder, s.frame_index + o, s.side),
+            )
+
+        do_flip = bool(rng.random() > 0.5)
+
+        frames = np.empty((NF, self.height, self.width, 3), dtype=np.uint8)
+        center = load_resized(
+            self.index.image_path(s.folder, s.frame_index, s.side),
+            self.width,
+            self.height,
+        )
+        frames[F] = center
+        for o in range(1, F + 1):
+            for sign in (1, -1):
+                i = F + sign * o
+                if o <= f:
+                    frames[i] = load_resized(
+                        self.index.image_path(s.folder, s.frame_index + sign * o, s.side),
+                        self.width,
+                        self.height,
+                    )
+                else:
+                    frames[i] = center
+
+        # stereo frame: loaded whenever the slot table can use it
+        needs_stereo = self.use_stereo and (self.classic or f <= 2)
+        if needs_stereo:
+            frames[NF - 1] = load_resized(
+                self.index.image_path(s.folder, s.frame_index, kitti.OTHER_SIDE[s.side]),
+                self.width,
+                self.height,
+            )
+        else:
+            frames[NF - 1] = center
+
+        # flip applied on device; stereo_T sign must match
+        # (mono_dataset.py:136-140)
+        stereo_T = np.eye(4, dtype=np.float32)
+        baseline_sign = -1 if do_flip else 1
+        side_sign = -1 if s.side == "l" else 1
+        stereo_T[0, 3] = side_sign * baseline_sign * 0.1
+
+        # jitter: identity with p=0.5, otherwise per-frame params
+        # (mono_dataset.py:77,124-128; torchvision draws per image)
+        jit = np.ones((NF, 4), dtype=np.float32)
+        jit[:, 3] = 0.0
+        if rng.random() > 0.5:
+            jit[:, :3] = rng.uniform(0.8, 1.2, size=(NF, 3))
+            jit[:, 3] = rng.uniform(-0.1, 0.1, size=NF)
+
+        return frames, f, stereo_T, do_flip, jit
+
+    # ----------------------------------------------------------------- epoch
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.rng.permutation(len(self.index))
+        nb = len(self)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for bi in range(nb):
+                idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+                seeds = self.rng.integers(0, 2**63, size=len(idxs))
+                futs = [
+                    pool.submit(self._load_sample, int(i), np.random.default_rng(int(sd)))
+                    for i, sd in zip(idxs, seeds)
+                ]
+                results = [f.result() for f in futs]
+                frames = np.stack([r[0] for r in results])
+                f_max = np.array([r[1] for r in results], dtype=np.int64)
+                stereo_T = np.stack([r[2] for r in results])
+                flip = np.array([r[3] for r in results], dtype=bool)
+                jitter = np.stack([r[4] for r in results])
+                K = np.broadcast_to(self._K, (len(idxs), 4, 4)).copy()
+                yield make_batch(
+                    frames,
+                    f_max,
+                    K,
+                    stereo_T,
+                    flip,
+                    jitter,
+                    self.F,
+                    self.trimin,
+                    self.use_stereo,
+                    self.classic,
+                )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate with background prefetch (double buffering host vs device)."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: list = []
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            except BaseException as e:  # surfaces in the consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
+class EvalLoader:
+    """Simple sequential loader for evaluation: center frame only, no aug.
+
+    Mirrors the reference's bs=1 eval loaders (trainer.py:125-130,
+    evaluate_depth.py:128-139) but batched for TPU efficiency; callers get
+    (images uint8 [B, H, W, 3], indices) with a final ragged batch padded
+    and masked via `count`.
+    """
+
+    def __init__(
+        self,
+        paths,
+        height: int,
+        width: int,
+        batch_size: int = 16,
+        num_workers: int = 8,
+    ):
+        self.paths = list(paths)
+        self.height = height
+        self.width = width
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+
+    def __len__(self):
+        return -(-len(self.paths) // self.batch_size)
+
+    def __iter__(self):
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            for bi in range(len(self)):
+                chunk = self.paths[bi * self.batch_size : (bi + 1) * self.batch_size]
+                imgs = list(pool.map(lambda p: load_resized(p, self.width, self.height), chunk))
+                count = len(imgs)
+                while len(imgs) < self.batch_size:
+                    imgs.append(imgs[-1])
+                yield np.stack(imgs), bi * self.batch_size, count

@@ -87,8 +87,12 @@ class TrainState(struct.PyTreeNode):
 
 
 def build_networks(st: StepStatic):
+    # The decoder always owns all four disp heads; StepStatic.scales only
+    # selects which scales enter the loss. (The reference constructs its
+    # decoder once with scales [0,1,2,3] and later epochs merely shrink
+    # opt.scales for the loss -- trainer.py:88-89 vs 208-212.)
     depth_net = build_depth_net(
-        st.zoo, num_layers=st.num_layers, scales=st.scales, dtype=st.compute_dtype
+        st.zoo, num_layers=st.num_layers, scales=(0, 1, 2, 3), dtype=st.compute_dtype
     )
     pose_net = build_pose_net(dtype=st.compute_dtype)
     return depth_net, pose_net
@@ -297,7 +301,7 @@ def loss_forward(
     total = 0.0
     metrics: Dict[str, jax.Array] = {}
     for s in st.scales:
-        disp = disps[sorted(st.scales).index(s)]  # decoder returns finest-first
+        disp = disps[s]  # decoder returns all four scales, finest first
         disp_full = disp if disp.shape[1:3] == (H, W) else resize_bilinear(disp, H, W)
         if st.metric_depth:
             depth = disp_full[..., 0]
