@@ -1,0 +1,58 @@
+"""Depth evaluation entry point (reference evaluate_depth.py).
+
+Usage:
+  python -m baseboostdepth_tpu.cli.evaluate_depth --config cfg.json \
+      --checkpoint logs/bbd_tpu/checkpoints [--split eigen] [--stereo true]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    import jax
+
+    from baseboostdepth_tpu.config import Config
+    from baseboostdepth_tpu.evaluation.depth import evaluate_kitti, print_metrics
+    from baseboostdepth_tpu.evaluation.syns import evaluate_syns
+    from baseboostdepth_tpu.training.checkpoint import CheckpointManager
+    from baseboostdepth_tpu.training.optim import make_optimizer
+    from baseboostdepth_tpu.training.step import StepStatic, init_state
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--split", default="eigen",
+                    choices=["eigen", "eigen_benchmark", "benchmark", "SYNS"])
+    ap.add_argument("--stereo", action="store_true")
+    ap.add_argument("--post_process", action="store_true")
+    ap.add_argument("--chamfer", action="store_true")
+    ap.add_argument("--save_pred_disps", default=None)
+    args = ap.parse_args(argv)
+
+    cfg = Config.load(args.config)
+    st = StepStatic(
+        zoo=cfg.model.zoo, num_layers=cfg.model.num_layers,
+        height=cfg.data.height, width=cfg.data.width, dtype=cfg.model.dtype,
+    )
+    state = init_state(st, make_optimizer(), jax.random.PRNGKey(0))
+    mgr = CheckpointManager(args.checkpoint)
+    state, _ = mgr.restore(state)
+
+    if args.split == "SYNS":
+        result = evaluate_syns(cfg, state.params, state.stats, chamfer=args.chamfer)
+    else:
+        result = evaluate_kitti(
+            cfg, state.params, state.stats,
+            eval_split=args.split, stereo=args.stereo,
+            post_process=args.post_process, save_pred_disps=args.save_pred_disps,
+        )
+    print_metrics(result)
+    for k, v in result.items():
+        print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,276 @@
+"""Trainer orchestration: epochs, curriculum stages, validation,
+checkpointing, logging.
+
+Role parity with the reference Trainer (trainer.py:29-284) minus everything
+that moved into compiled code: the curriculum advances by swapping the
+epoch's Stage/StepStatic (two jit specializations per run) and loader, not
+by rebuilding python graphs per batch. Online validation runs the eigen_zhou
+val split against precomputed GT every log_frequency batches and tracks best
+abs_rel (trainer.py:623-665).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from baseboostdepth_tpu.config import Config
+from baseboostdepth_tpu.data import kitti
+from baseboostdepth_tpu.data.curriculum import Stage, stage_for_epoch
+from baseboostdepth_tpu.data.loader import EvalLoader, KittiTrainLoader
+from baseboostdepth_tpu.evaluation.metrics import METRIC_NAMES, single_image_errors
+from baseboostdepth_tpu.parallel import data_mesh, replicate, shard_batch
+from baseboostdepth_tpu.training.checkpoint import CheckpointManager
+from baseboostdepth_tpu.training.optim import make_optimizer
+from baseboostdepth_tpu.training.step import (
+    StepStatic,
+    init_state,
+    make_eval_forward,
+    make_train_step,
+)
+from baseboostdepth_tpu.utils import sec_to_hm_str
+
+
+class MetricLogger:
+    """Console + JSONL metric writer (pluggable; wandb optional).
+
+    Replaces the reference's hard wandb dependency (trainer.py:34-36,
+    678-772) with a local JSONL stream any dashboard can tail.
+    """
+
+    def __init__(self, log_dir: str, use_wandb: bool = False, config: Optional[dict] = None):
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+
+                wandb.init(project="baseboostdepth_tpu", config=config)
+                self._wandb = wandb
+            except Exception as e:  # wandb genuinely optional
+                print(f"[log] wandb unavailable ({e}); continuing with JSONL")
+
+    def log(self, step: int, payload: Dict[str, float]):
+        rec = {"step": int(step), "t": time.time(), **{k: float(v) for k, v in payload.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self._wandb is not None:
+            self._wandb.log(payload, step=step)
+
+    def close(self):
+        self._f.close()
+
+
+class Trainer:
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.log_path = os.path.join(cfg.log.log_dir, cfg.log.model_name)
+        os.makedirs(self.log_path, exist_ok=True)
+        cfg.save(os.path.join(self.log_path, "config.json"))
+
+        assert cfg.data.height % 32 == 0 and cfg.data.width % 32 == 0, \
+            "height/width must be multiples of 32"
+
+        split_dir = os.path.join(cfg.data.splits_dir, cfg.data.split)
+        train_file = os.path.join(split_dir, "train_files_baselines.txt")
+        if not os.path.exists(train_file):
+            train_file = os.path.join(split_dir, "train_files.txt")
+        self.train_index = kitti.KittiRawIndex(
+            cfg.data.kt_path, train_file, ".png" if cfg.data.png else ".jpg"
+        )
+        self.steps_per_epoch = len(self.train_index) // cfg.optim.batch_size
+
+        # online validation assets (optional: only if GT has been exported)
+        self.val_paths = []
+        self.gt_depths = None
+        val_file = os.path.join(split_dir, "val_files.txt")
+        gt_file = os.path.join(split_dir, "gt_depths.npz")
+        if os.path.exists(val_file) and os.path.exists(gt_file):
+            val_index = kitti.KittiRawIndex(cfg.data.kt_path, val_file, ".jpg")
+            self.val_paths = [
+                val_index.image_path(s.folder, s.frame_index, s.side)
+                for s in val_index.samples
+            ]
+            self.gt_depths = np.load(
+                gt_file, fix_imports=True, encoding="latin1", allow_pickle=True
+            )["data"]
+
+        self.mesh = data_mesh()
+        n_dev = self.mesh.devices.size
+        assert cfg.optim.batch_size % n_dev == 0, (
+            f"batch_size {cfg.optim.batch_size} must divide over {n_dev} devices"
+        )
+
+        self.optimizer = make_optimizer(
+            cfg.optim.learning_rate,
+            cfg.optim.lr_milestones,
+            cfg.optim.lr_gamma,
+            self.steps_per_epoch,
+            vit=(cfg.model.zoo == "monovit"),
+            vit_encoder_lr=cfg.optim.vit_encoder_lr,
+        )
+
+        st0 = self._static_for_stage(stage_for_epoch(0, cfg.method.trimin))
+        self.state = init_state(st0, self.optimizer, jax.random.PRNGKey(cfg.seed))
+        if cfg.model.weights_init == "pretrained" and cfg.model.pretrained_path:
+            from baseboostdepth_tpu.models.torch_import import load_pretrained_encoder
+
+            self.state = load_pretrained_encoder(self.state, cfg.model.pretrained_path, cfg.model.zoo)
+        self.state = replicate(self.state, self.mesh)
+
+        self.ckpt = CheckpointManager(os.path.join(self.log_path, "checkpoints"))
+        self.start_epoch = 0
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            self.state, extra = self.ckpt.restore(self.state, latest)
+            self.start_epoch = int(latest // max(1, self.steps_per_epoch))
+            print(f"resumed from step {latest} (epoch {self.start_epoch})")
+
+        self._step_fns: Dict[StepStatic, object] = {}
+        self._eval_fns: Dict[str, object] = {}
+        self.logger = MetricLogger(self.log_path, cfg.log.wandb, cfg.to_dict())
+        self.best_abs_rel = 10.0
+        self.rng = np.random.default_rng(cfg.seed)
+
+    # ------------------------------------------------------------------
+    def _static_for_stage(self, stage: Stage) -> StepStatic:
+        m, cfg = self.cfg.method, self.cfg
+        sql = cfg.model.zoo in ("sql", "sql_large")
+        if not m.curriculum:
+            return StepStatic(
+                zoo=cfg.model.zoo,
+                num_layers=cfg.model.num_layers,
+                height=cfg.data.height,
+                width=cfg.data.width,
+                F=1,
+                scales=(0,) if sql else tuple(m.scales),
+                trimin=False,
+                incremental=False,
+                partial=False,
+                decomp=False,
+                use_ssim=not m.no_ssim,
+                min_depth=m.min_depth,
+                max_depth=m.max_depth,
+                smooth_weight=m.disparity_smoothness,
+                dtype=cfg.model.dtype,
+            )
+        return StepStatic(
+            zoo=cfg.model.zoo,
+            num_layers=cfg.model.num_layers,
+            height=cfg.data.height,
+            width=cfg.data.width,
+            F=stage.F,
+            scales=tuple(stage.scales),
+            trimin=m.trimin,
+            incremental=m.incremental and stage.incremental_active,
+            partial=m.partial and stage.incremental_active,
+            decomp=m.decomp,
+            pose_error=m.pose_error,
+            use_ssim=not m.no_ssim,
+            min_depth=m.min_depth,
+            max_depth=m.max_depth,
+            smooth_weight=m.disparity_smoothness,
+            dtype=cfg.model.dtype,
+        )
+
+    def _step_fn(self, st: StepStatic):
+        if st not in self._step_fns:
+            self._step_fns[st] = make_train_step(st, self.optimizer)
+        return self._step_fns[st]
+
+    # ------------------------------------------------------------------
+    def train(self):
+        cfg = self.cfg
+        t0 = time.time()
+        global_step = int(jax.device_get(self.state.step))
+        print(f"training {cfg.log.model_name}: {len(self.train_index)} samples, "
+              f"{self.steps_per_epoch} steps/epoch, mesh={self.mesh.devices.size} device(s)")
+        for epoch in range(self.start_epoch, cfg.optim.num_epochs):
+            stage = stage_for_epoch(
+                epoch, cfg.method.trimin, cfg.method.curriculum_switch_epoch,
+                sql=cfg.model.zoo in ("sql", "sql_large"),
+            )
+            st = self._static_for_stage(stage)
+            step_fn = self._step_fn(st)
+            loader = KittiTrainLoader(
+                self.train_index,
+                stage,
+                cfg.optim.batch_size,
+                cfg.data.height,
+                cfg.data.width,
+                trimin=cfg.method.trimin,
+                use_stereo=cfg.method.use_stereo,
+                classic=not cfg.method.curriculum,
+                num_workers=cfg.data.num_workers,
+                prefetch=cfg.data.prefetch,
+                seed=cfg.seed * 1000 + epoch,
+            )
+            print(
+                f"epoch {epoch}: F={st.F} scales={st.scales} cutoff={stage.cutoff:.2f} "
+                f"incremental={st.incremental} partial={st.partial} decomp={st.decomp}"
+            )
+            t_epoch = time.time()
+            seen = 0
+            for bi, batch in enumerate(loader):
+                batch = shard_batch(batch, self.mesh)
+                key = jax.random.PRNGKey(self.rng.integers(0, 2**63))
+                self.state, metrics = step_fn(self.state, batch, key)
+                global_step += 1
+                seen += cfg.optim.batch_size
+
+                if bi % cfg.log.log_frequency == 0 and bi > 0:
+                    m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    rate = seen / (time.time() - t_epoch)
+                    elapsed = time.time() - t0
+                    m.update(epoch=epoch, imgs_per_sec=rate)
+                    self.logger.log(global_step, m)
+                    print(
+                        f"e{epoch} b{bi} loss {m['loss']:.4f} | {rate:5.1f} imgs/s | "
+                        f"elapsed {sec_to_hm_str(elapsed)}"
+                    )
+                    if self.gt_depths is not None:
+                        self.validate(st, global_step, epoch, bi)
+
+            if (epoch + 1) % cfg.log.save_frequency == 0:
+                self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch})
+        self.logger.close()
+
+    # ------------------------------------------------------------------
+    def validate(self, st: StepStatic, global_step: int, epoch: int, bi: int):
+        """Online eigen_zhou validation (reference val(), trainer.py:623-665)."""
+        import cv2
+
+        if st.zoo not in self._eval_fns:
+            self._eval_fns[st.zoo] = make_eval_forward(st)
+        fwd = self._eval_fns[st.zoo]
+
+        totals = np.zeros(len(METRIC_NAMES))
+        count = 0
+        loader = EvalLoader(
+            self.val_paths, self.cfg.data.height, self.cfg.data.width, batch_size=16
+        )
+        params, stats = self.state.params, self.state.stats
+        for imgs, start, n in loader:
+            depth = np.asarray(jax.device_get(fwd(params, stats, imgs.astype(np.float32) / 255.0)))
+            for j in range(n):
+                gt = self.gt_depths[start + j]
+                pred = cv2.resize(depth[j], (gt.shape[1], gt.shape[0]))
+                totals += np.array(single_image_errors(pred, gt))
+                count += 1
+        vals = dict(zip(METRIC_NAMES, totals / max(count, 1)))
+        self.logger.log(global_step, {f"val/{k}": v for k, v in vals.items()})
+        print("val:", " ".join(f"{k}={v:.4f}" for k, v in vals.items()))
+        if vals["abs_rel"] < self.best_abs_rel:
+            self.best_abs_rel = vals["abs_rel"]
+            self.ckpt.save(
+                global_step,
+                jax.device_get(self.state),
+                {"epoch": epoch, "abs_rel": vals["abs_rel"], "best": True},
+            )
+            print(f"new best abs_rel {vals['abs_rel']:.4f} -> checkpoint saved")

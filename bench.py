@@ -22,6 +22,10 @@ REFERENCE_IMGS_PER_SEC = 30.0
 def main():
     import jax
 
+    from baseboostdepth_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+
     from baseboostdepth_tpu.training.batch import make_batch, num_frames
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step

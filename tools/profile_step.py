@@ -1,0 +1,132 @@
+"""Ablation profiler for the train step: times the step with pieces disabled
+to locate the bottleneck on real hardware.
+
+Usage: python tools/profile_step.py [--dtype bfloat16] [--quick]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(out):
+    """Force completion: on the tunneled axon platform block_until_ready
+    returns early, so read one scalar back to host."""
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
+def timeit(fn, *args, iters=5, warmup=1):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _sync(fn(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from baseboostdepth_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+
+    from baseboostdepth_tpu import geometry
+    from baseboostdepth_tpu.models import MD2DepthNet, build_pose_net
+    from baseboostdepth_tpu.ops import bilinear_sample
+    from baseboostdepth_tpu.ops.ssim import reprojection_loss
+
+    H, W, B = 192, 640, 12
+    cdt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    print(f"devices: {jax.devices()}  dtype={args.dtype}")
+
+    # ---- 1. depth net fwd+bwd ----
+    net = MD2DepthNet(num_layers=18, dtype=cdt)
+    x = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
+    v = net.init(key, x, train=False)
+
+    @jax.jit
+    def depth_train(params, stats, x):
+        def loss(p):
+            d, mut = net.apply({"params": p, "batch_stats": stats}, x, train=True, mutable=["batch_stats"])
+            return sum(jnp.mean(di.astype(jnp.float32)) for di in d)
+        return jax.grad(loss)(params)
+
+    t = timeit(depth_train, v["params"], v["batch_stats"], x, iters=args.iters)
+    print(f"depth fwd+bwd (B={B}):           {t*1e3:8.1f} ms")
+
+    # ---- 2. pose net fwd+bwd at the full-pair batch (26 pairs) ----
+    P = 26
+    pose = build_pose_net(dtype=cdt)
+    px = jnp.asarray(rng.random((B * P, H, W, 6)).astype(np.float32))
+    pv = pose.init(key, px[:1], train=False)
+
+    @jax.jit
+    def pose_train(params, stats, x):
+        def loss(p):
+            (aa, tt), mut = pose.apply({"params": p, "batch_stats": stats}, x, train=True, mutable=["batch_stats"])
+            return jnp.mean(aa.astype(jnp.float32) ** 2) + jnp.mean(tt.astype(jnp.float32) ** 2)
+        return jax.grad(loss)(params)
+
+    t = timeit(pose_train, pv["params"], pv["batch_stats"], px, iters=args.iters)
+    print(f"pose fwd+bwd (B*P={B*P}):        {t*1e3:8.1f} ms")
+
+    # ---- 3. warps: 13 slots of grid + bilinear sample, fwd+bwd ----
+    S = 13
+    depth_map = jnp.asarray(rng.uniform(2, 60, (B, H, W)).astype(np.float32))
+    K = np.broadcast_to(
+        np.array([[0.58 * W, 0, 0.5 * W, 0], [0, 1.92 * H, 0.5 * H, 0], [0, 0, 1, 0], [0, 0, 0, 1]], np.float32),
+        (B, 4, 4),
+    ).copy()
+    Kj = jnp.asarray(K)
+    iKj = jnp.asarray(np.linalg.inv(K))
+    Ts = jnp.broadcast_to(jnp.eye(4), (B * S, 4, 4)) + 0.0
+    src = jnp.asarray(rng.random((B * S, H, W, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((B, 1, H, W, 3)).astype(np.float32))
+
+    @jax.jit
+    def warp_train(depth_map, Ts, src):
+        def loss(d):
+            dr = jnp.broadcast_to(d[:, None], (B, S, H, W)).reshape(B * S, H, W)
+            grid = geometry.warp_grid(dr, jnp.repeat(Kj, S, 0), jnp.repeat(iKj, S, 0), Ts)
+            w = bilinear_sample(src, grid).reshape(B, S, H, W, 3)
+            return jnp.mean(w)
+        return jax.grad(loss)(depth_map)
+
+    t = timeit(warp_train, depth_map, Ts, src, iters=args.iters)
+    print(f"warp grid+sample x{S} fwd+bwd:   {t*1e3:8.1f} ms")
+
+    # ---- 4. photometric (SSIM+L1) over 20 candidates fwd+bwd ----
+    C = 20
+    pred = jnp.asarray(rng.random((B * C, H, W, 3)).astype(np.float32))
+    tgtc = jnp.asarray(rng.random((B * C, H, W, 3)).astype(np.float32))
+
+    @jax.jit
+    def pe_train(pred, tgtc):
+        def loss(p):
+            return jnp.mean(reprojection_loss(p, tgtc))
+        return jax.grad(loss)(pred)
+
+    t = timeit(pe_train, pred, tgtc, iters=args.iters)
+    print(f"photometric x{C} fwd+bwd:        {t*1e3:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
