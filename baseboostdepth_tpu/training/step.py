@@ -217,6 +217,8 @@ def loss_forward(
     H, W, F = st.height, st.width, st.F
     NF = 2 * F + 2
 
+    noise_key, drop_key = jax.random.split(noise_key)
+
     frames = batch["frames"]
     color = frames.astype(jnp.float32) / 255.0 if frames.dtype == jnp.uint8 else frames
     color = apply_flip(color, batch["flip"])
@@ -229,7 +231,8 @@ def loss_forward(
     dvars = {"params": params["depth"], "batch_stats": stats["depth"]}
     if train:
         disps, dmut = depth_net.apply(
-            dvars, aug[:, F].astype(cdt), train=True, mutable=["batch_stats"]
+            dvars, aug[:, F].astype(cdt), train=True, mutable=["batch_stats"],
+            rngs={"dropout": drop_key},
         )
         new_dstats = dmut["batch_stats"]
     else:
