@@ -1,0 +1,255 @@
+"""Pallas TPU kernel for bilinear image warping (grid_sample equivalent).
+
+Why: XLA lowers the gather at the heart of the warp to ~17ns/element scalar
+fetches -- 74ms per 12-image warp, which made the whole reference method
+step warp-bound (see tools/warp_experiments*.py). Mosaic on v5e supports
+arbitrary dynamic gathers only WITHIN an (8 sublane x 128 lane) tile
+(tools/pallas_probe.py), so this kernel decomposes the global 2D gather
+into a sweep over (8-row band) x (128-col block) source tiles:
+
+  for each output tile [8, 128]:
+    compute the bounding box of its source coordinates, then visit only the
+    intersecting (band, block) pairs (fori over bands, pl.when over blocks;
+    typically ~3 x 3 of the full 25 x 6 sweep). For each visited pair and
+    each of its 8 rows: broadcast the row, lane-gather at the tile's
+    x-offsets (two gathers: the x0 and x0+1 columns), and accumulate the
+    four bilinear corners under their (band, row, block) masks into VMEM
+    scratch.
+
+All arithmetic is VPU-vectorized; no scalar gathers anywhere.
+
+The source is edge-padded to tile multiples (+1 row/col) so x0+1 / y0+1
+never leave the array and border-clamp semantics (torch grid_sample
+padding_mode='border') fall out naturally. Inputs are *clamped pixel
+coordinates*; the caller normalizes and clamps, so coordinate gradients
+saturate outside the image exactly like torch.
+
+Backward: source images are training data (never differentiated), so the
+custom VJP returns only coordinate gradients, computed by a sibling kernel
+from the same corner values:
+  d out / d px = (1-wy) (v01 - v00) + wy (v11 - v10)
+  d out / d py = (1-wx) (v10 - v00) + wx (v11 - v01)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 8
+TILE_W = 128
+
+
+def _tile_indices(px, py):
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    wx = px - x0f
+    wy = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    return x0, y0, wx, wy
+
+
+def _sweep(src_ref, px, py, a00, a01, a10, a11):
+    """Accumulate the 4 bilinear corner values into scratch refs."""
+    Hp, Wp = src_ref.shape
+    n_blocks = Wp // TILE_W
+
+    x0, y0, wx, wy = _tile_indices(px, py)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    q0, r0 = y0 >> 3, y0 & 7
+    q1, r1 = y1 >> 3, y1 & 7
+    g0, xl0 = x0 >> 7, x0 & 127
+    g1, xl1 = x1 >> 7, x1 & 127
+
+    qmin = jnp.min(q0)
+    qmax = jnp.max(q1)
+    gmin = jnp.min(g0)
+    gmax = jnp.max(g1)
+
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    a00[:] = zero
+    a01[:] = zero
+    a10[:] = zero
+    a11[:] = zero
+
+    def band_body(q, carry):
+        band = src_ref[pl.ds(q * TILE_H, TILE_H), :]  # [8, Wp]
+        in_q0 = q0 == q
+        in_q1 = q1 == q
+
+        for g in range(n_blocks):
+
+            def visit(g=g):
+                blk = band[:, g * TILE_W : (g + 1) * TILE_W]
+                m00 = in_q0 & (g0 == g)
+                m01 = in_q0 & (g1 == g)
+                m10 = in_q1 & (g0 == g)
+                m11 = in_q1 & (g1 == g)
+                acc00, acc01, acc10, acc11 = a00[:], a01[:], a10[:], a11[:]
+                for rr in range(TILE_H):
+                    row = jnp.broadcast_to(blk[rr][None, :], (TILE_H, TILE_W))
+                    v_x0 = jnp.take_along_axis(row, xl0, axis=1)
+                    v_x1 = jnp.take_along_axis(row, xl1, axis=1)
+                    hit0 = r0 == rr
+                    hit1 = r1 == rr
+                    acc00 = acc00 + jnp.where(m00 & hit0, v_x0, 0.0)
+                    acc01 = acc01 + jnp.where(m01 & hit0, v_x1, 0.0)
+                    acc10 = acc10 + jnp.where(m10 & hit1, v_x0, 0.0)
+                    acc11 = acc11 + jnp.where(m11 & hit1, v_x1, 0.0)
+                a00[:] = acc00
+                a01[:] = acc01
+                a10[:] = acc10
+                a11[:] = acc11
+
+            pl.when((g >= gmin) & (g <= gmax))(visit)
+        return carry
+
+    jax.lax.fori_loop(qmin, qmax + 1, band_body, 0)
+    return wx, wy
+
+
+def _fwd_kernel(src_ref, px_ref, py_ref, out_ref, a00, a01, a10, a11):
+    wx, wy = _sweep(src_ref, px_ref[:], py_ref[:], a00, a01, a10, a11)
+    v00, v01, v10, v11 = a00[:], a01[:], a10[:], a11[:]
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    out_ref[:] = top + (bot - top) * wy
+
+
+def _bwd_kernel(src_ref, px_ref, py_ref, g_ref, gpx_ref, gpy_ref, a00, a01, a10, a11):
+    wx, wy = _sweep(src_ref, px_ref[:], py_ref[:], a00, a01, a10, a11)
+    v00, v01, v10, v11 = a00[:], a01[:], a10[:], a11[:]
+    g = g_ref[:]
+    gpx_ref[:] = g * ((1.0 - wy) * (v01 - v00) + wy * (v11 - v10))
+    gpy_ref[:] = g * ((1.0 - wx) * (v10 - v00) + wx * (v11 - v01))
+
+
+def _pad_to(x, h, w):
+    ph = h - x.shape[-2]
+    pw = w - x.shape[-1]
+    if ph == 0 and pw == 0:
+        return x
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, ph), (0, pw)], mode="edge")
+
+
+def _round_up(v, m):
+    return (v + m - 1) // m * m
+
+
+_SCRATCH = [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 4
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_planes(planes, px, py, channels, interpret):
+    out, _ = _warp_planes_fwd(planes, px, py, channels, interpret)
+    return out
+
+
+def _warp_planes_fwd(planes, px, py, channels, interpret):
+    """planes [B*C, Hp, Wp]; px/py [B, Ho, Wo] clamped pixel coords ->
+    out [B*C, Ho, Wo]. Coordinates are shared across the C plane group via
+    the index map (no host-side duplication)."""
+    NC, Hp, Wp = planes.shape
+    B, Ho, Wo = px.shape
+    C = channels
+    grid = (NC, Ho // TILE_H, Wo // TILE_W)
+    coord_spec = pl.BlockSpec(
+        (None, TILE_H, TILE_W), lambda n, i, j: (n // C, i, j), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((NC, Ho, Wo), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, Hp, Wp), lambda n, i, j: (n, 0, 0), memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (None, TILE_H, TILE_W), lambda n, i, j: (n, i, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=list(_SCRATCH),
+        interpret=interpret,
+    )(planes, px, py)
+    return out, (planes, px, py)
+
+
+def _warp_planes_bwd(channels, interpret, res, gout):
+    planes, px, py = res
+    NC, Hp, Wp = planes.shape
+    B, Ho, Wo = px.shape
+    C = channels
+    grid = (NC, Ho // TILE_H, Wo // TILE_W)
+    coord_spec = pl.BlockSpec(
+        (None, TILE_H, TILE_W), lambda n, i, j: (n // C, i, j), memory_space=pltpu.VMEM
+    )
+    plane_tile = pl.BlockSpec(
+        (None, TILE_H, TILE_W), lambda n, i, j: (n, i, j), memory_space=pltpu.VMEM
+    )
+    gpx_nc, gpy_nc = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((NC, Ho, Wo), jnp.float32),
+            jax.ShapeDtypeStruct((NC, Ho, Wo), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, Hp, Wp), lambda n, i, j: (n, 0, 0), memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
+            plane_tile,
+        ],
+        out_specs=(plane_tile, plane_tile),
+        scratch_shapes=list(_SCRATCH),
+        interpret=interpret,
+    )(planes, px, py, gout)
+    # sum the coordinate gradients over the channel group
+    gpx = gpx_nc.reshape(B, C, Ho, Wo).sum(axis=1)
+    gpy = gpy_nc.reshape(B, C, Ho, Wo).sum(axis=1)
+    return None, gpx, gpy
+
+
+_warp_planes.defvjp(_warp_planes_fwd, _warp_planes_bwd)
+
+
+def bilinear_sample_pallas(img: jax.Array, grid: jax.Array, interpret: bool = False) -> jax.Array:
+    """Drop-in equivalent of ops.sampling.bilinear_sample backed by the
+    Pallas kernel.
+
+    Args:
+      img:  [..., H, W, C]
+      grid: [..., Ho, Wo, 2] normalized coords ([-1, 1], align_corners=True).
+    """
+    H, W, C = img.shape[-3:]
+    lead = img.shape[:-3]
+    Ho, Wo = grid.shape[-3:-1]
+    B = int(np.prod(lead)) if lead else 1
+
+    x = (grid[..., 0].reshape(B, Ho, Wo) + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1].reshape(B, Ho, Wo) + 1.0) * 0.5 * (H - 1)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+
+    Hp = _round_up(H + 1, TILE_H)
+    Wp = _round_up(W + 1, TILE_W)
+    planes = jnp.moveaxis(img.reshape(B, H, W, C), -1, 1).reshape(B * C, H, W)
+    planes = _pad_to(planes.astype(jnp.float32), Hp, Wp)
+
+    Hop = _round_up(Ho, TILE_H)
+    Wop = _round_up(Wo, TILE_W)
+    if (Hop, Wop) != (Ho, Wo):
+        x = _pad_to(x, Hop, Wop)
+        y = _pad_to(y, Hop, Wop)
+
+    out = _warp_planes(planes, x, y, C, interpret)
+    out = out[:, :Ho, :Wo].reshape(B, C, Ho, Wo)
+    out = jnp.moveaxis(out, 1, -1)
+    return out.reshape(lead + (Ho, Wo, C)).astype(img.dtype)

@@ -1,0 +1,134 @@
+"""Torch-import tests: a synthetic torch-layout ResNet-18 + decoder + pose
+checkpoint must convert into trees structurally identical to flax init, and
+a converted conv+bn stem must reproduce torch functional output."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from baseboostdepth_tpu.models import MD2DepthNet, build_pose_net
+from baseboostdepth_tpu.models.torch_import import (
+    depth_decoder_torch_to_flax,
+    pose_decoder_torch_to_flax,
+    resnet_torch_to_flax,
+)
+
+
+def _make_torch_resnet18_sd(rng, in_ch=3):
+    """Minimal torchvision-layout resnet18 state dict (conv+bn only)."""
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[name + ".weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32) * 0.05
+
+    def bn(name, c):
+        sd[name + ".weight"] = rng.standard_normal(c).astype(np.float32) * 0.1 + 1
+        sd[name + ".bias"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_mean"] = rng.standard_normal(c).astype(np.float32) * 0.1
+        sd[name + ".running_var"] = np.abs(rng.standard_normal(c).astype(np.float32)) + 1
+
+    conv("conv1", 64, in_ch, 7)
+    bn("bn1", 64)
+    widths = [64, 128, 256, 512]
+    inp = 64
+    for li, w in enumerate(widths, start=1):
+        for bi in range(2):
+            base = f"layer{li}.{bi}"
+            stride_block = bi == 0 and li > 1
+            conv(f"{base}.conv1", w, inp if bi == 0 else w, 3)
+            bn(f"{base}.bn1", w)
+            conv(f"{base}.conv2", w, w, 3)
+            bn(f"{base}.bn2", w)
+            if bi == 0 and (stride_block or inp != w):
+                conv(f"{base}.downsample.0", w, inp, 1)
+                bn(f"{base}.downsample.1", w)
+        inp = w
+    return sd
+
+
+def _tree_shapes(t):
+    return jax.tree.map(lambda x: tuple(np.shape(x)), t)
+
+
+class TestResnetImport:
+    def test_structure_matches_flax_init(self):
+        rng = np.random.default_rng(0)
+        sd = _make_torch_resnet18_sd(rng)
+        params, stats = resnet_torch_to_flax(sd)
+
+        net = MD2DepthNet(num_layers=18)
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        ref_p = v["params"]["encoder"]
+        ref_s = v["batch_stats"]["encoder"]
+        assert _tree_shapes(params) == _tree_shapes(ref_p)
+        assert _tree_shapes(stats) == _tree_shapes(ref_s)
+
+    def test_stem_forward_matches_torch(self):
+        rng = np.random.default_rng(1)
+        sd = _make_torch_resnet18_sd(rng)
+        params, stats = resnet_torch_to_flax(sd)
+
+        x = rng.random((2, 32, 48, 3)).astype(np.float32)
+        tx = torch.from_numpy(x).permute(0, 3, 1, 2)
+        ty = F.conv2d(tx, torch.from_numpy(sd["conv1.weight"]), stride=2, padding=3)
+        ty = F.batch_norm(
+            ty,
+            torch.from_numpy(sd["bn1.running_mean"]),
+            torch.from_numpy(sd["bn1.running_var"]),
+            torch.from_numpy(sd["bn1.weight"]),
+            torch.from_numpy(sd["bn1.bias"]),
+            training=False, eps=1e-5,
+        )
+        ty = torch.relu(ty).permute(0, 2, 3, 1).numpy()
+
+        k = jnp.asarray(params["conv1"]["conv"]["kernel"])
+        y = jax.lax.conv_general_dilated(
+            jnp.asarray(x), k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bnp = params["bn1"]["bn"]
+        bns = stats["bn1"]["bn"]
+        y = (y - bns["mean"]) / np.sqrt(bns["var"] + 1e-5) * bnp["scale"] + bnp["bias"]
+        y = jax.nn.relu(y)
+        np.testing.assert_allclose(np.asarray(y), ty, atol=1e-4)
+
+
+class TestDecoderImport:
+    def test_depth_decoder_structure(self):
+        rng = np.random.default_rng(2)
+        chans_in = {4: (512, 256), 3: (256, 128), 2: (128, 64), 1: (64, 32), 0: (32, 16)}
+        skip = {4: 256, 3: 128, 2: 64, 1: 64, 0: 0}
+        sd = {}
+        idx = 0
+        for i in range(4, -1, -1):
+            cin, cout = chans_in[i]
+            sd[f"decoder.{idx}.conv.conv.weight"] = rng.standard_normal((cout, cin, 3, 3)).astype(np.float32)
+            sd[f"decoder.{idx}.conv.conv.bias"] = rng.standard_normal(cout).astype(np.float32)
+            idx += 1
+            cin1 = cout + skip[i]
+            sd[f"decoder.{idx}.conv.conv.weight"] = rng.standard_normal((cout, cin1, 3, 3)).astype(np.float32)
+            sd[f"decoder.{idx}.conv.conv.bias"] = rng.standard_normal(cout).astype(np.float32)
+            idx += 1
+        dec_ch = [16, 32, 64, 128, 256]
+        for s in range(4):
+            sd[f"decoder.{10+s}.conv.weight"] = rng.standard_normal((1, dec_ch[s], 3, 3)).astype(np.float32)
+            sd[f"decoder.{10+s}.conv.bias"] = rng.standard_normal(1).astype(np.float32)
+
+        params = depth_decoder_torch_to_flax(sd)
+        net = MD2DepthNet(num_layers=18)
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+        assert _tree_shapes(params) == _tree_shapes(v["params"]["decoder"])
+
+    def test_pose_decoder_structure(self):
+        rng = np.random.default_rng(3)
+        sd = {}
+        shapes = [(256, 512, 1), (256, 256, 3), (256, 256, 3), (12, 256, 1)]
+        for idx, (o, i, k) in enumerate(shapes):
+            sd[f"net.{idx}.weight"] = rng.standard_normal((o, i, k, k)).astype(np.float32)
+            sd[f"net.{idx}.bias"] = rng.standard_normal(o).astype(np.float32)
+        params = pose_decoder_torch_to_flax(sd)
+        net = build_pose_net()
+        v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False)
+        assert _tree_shapes(params) == _tree_shapes(v["params"]["decoder"])

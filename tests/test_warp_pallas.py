@@ -1,0 +1,68 @@
+"""Pallas warp kernel correctness (interpret mode on CPU) vs torch
+grid_sample and vs the XLA reference implementation."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from baseboostdepth_tpu.ops.sampling import bilinear_sample
+from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas
+
+
+def _torch_ref(img, grid):
+    t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+    t_grid = torch.from_numpy(grid)
+    ref = F.grid_sample(t_img, t_grid, mode="bilinear", padding_mode="border", align_corners=True)
+    return ref.permute(0, 2, 3, 1).numpy()
+
+
+class TestPallasWarp:
+    def test_forward_matches_torch(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((2, 40, 256, 3)).astype(np.float32)
+        grid = ((rng.random((2, 40, 256, 2)) * 2 - 1) * 1.15).astype(np.float32)
+        out = np.asarray(bilinear_sample_pallas(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        np.testing.assert_allclose(out, _torch_ref(img, grid), atol=1e-5)
+
+    def test_forward_matches_xla_path(self):
+        rng = np.random.default_rng(1)
+        img = rng.random((3, 16, 128, 2)).astype(np.float32)
+        grid = ((rng.random((3, 16, 128, 2)) * 2 - 1) * 1.05).astype(np.float32)
+        a = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(grid)))
+        b = np.asarray(bilinear_sample_pallas(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_grid_gradients_match_torch(self):
+        rng = np.random.default_rng(2)
+        img = rng.random((1, 24, 128, 3)).astype(np.float32)
+        grid = ((rng.random((1, 24, 128, 2)) * 2 - 1) * 1.05).astype(np.float32)
+
+        def f(g):
+            return jnp.sum(bilinear_sample_pallas(jnp.asarray(img), g, interpret=True) ** 2)
+
+        gg = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+
+        t_img = torch.from_numpy(img).permute(0, 3, 1, 2)
+        tg = torch.from_numpy(grid).requires_grad_(True)
+        out = F.grid_sample(t_img, tg, mode="bilinear", padding_mode="border", align_corners=True)
+        (out**2).sum().backward()
+        np.testing.assert_allclose(gg, tg.grad.numpy(), atol=1e-4)
+
+    def test_non_tile_aligned_shapes(self):
+        rng = np.random.default_rng(3)
+        img = rng.random((1, 30, 100, 3)).astype(np.float32)  # pads to 40x256 grid
+        grid = ((rng.random((1, 30, 100, 2)) * 2 - 1) * 1.1).astype(np.float32)
+        out = np.asarray(bilinear_sample_pallas(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        np.testing.assert_allclose(out, _torch_ref(img, grid), atol=1e-5)
+
+    def test_leading_slot_axis(self):
+        rng = np.random.default_rng(4)
+        img = rng.random((2, 3, 16, 128, 3)).astype(np.float32)
+        grid = ((rng.random((2, 3, 16, 128, 2)) * 2 - 1) * 1.05).astype(np.float32)
+        out = bilinear_sample_pallas(jnp.asarray(img), jnp.asarray(grid), interpret=True)
+        assert out.shape == (2, 3, 16, 128, 3)
+        one = bilinear_sample_pallas(jnp.asarray(img[1, 2]), jnp.asarray(grid[1, 2]), interpret=True)
+        np.testing.assert_allclose(np.asarray(out[1, 2]), np.asarray(one), atol=1e-6)
