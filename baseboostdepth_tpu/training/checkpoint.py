@@ -8,6 +8,7 @@ atomic, async-capable, step-indexed, restorable onto any mesh.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Optional, Tuple
 
@@ -27,11 +28,12 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, extra: Optional[dict] = None) -> None:
-        payload = {"state": state}
-        if extra is not None:
-            payload["extra"] = extra
-        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.save(step, args=ocp.args.StandardSave({"state": state}))
         self._mgr.wait_until_finished()
+        if extra is not None:
+            # sidecar metadata (epoch, val metrics) next to the step dir
+            with open(os.path.join(self.directory, f"extra_{step}.json"), "w") as f:
+                json.dump(extra, f)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -42,11 +44,15 @@ class CheckpointManager:
             step = self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        ref = {"state": target_state, "extra": ocp.args.StandardRestore}
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore({"state": target_state})
         )
-        return restored["state"], restored.get("extra")
+        extra = None
+        sidecar = os.path.join(self.directory, f"extra_{step}.json")
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                extra = json.load(f)
+        return restored["state"], extra
 
     def close(self):
         self._mgr.close()

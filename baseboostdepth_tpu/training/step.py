@@ -44,7 +44,7 @@ from flax import struct
 from baseboostdepth_tpu import geometry, losses
 from baseboostdepth_tpu.data.augment import apply_flip, color_jitter
 from baseboostdepth_tpu.models import DEPTH_IS_METRIC, build_depth_net, build_pose_net
-from baseboostdepth_tpu.ops import bilinear_sample
+from baseboostdepth_tpu.ops.sampling import bilinear_sample, resolve_warp
 from baseboostdepth_tpu.ops.resize import lanczos_pyramid, resize_bilinear
 
 
@@ -69,6 +69,7 @@ class StepStatic:
     max_depth: float = 100.0
     smooth_weight: float = 1e-3
     dtype: str = "float32"
+    warp_impl: str = "auto"  # auto | pallas | xla
 
     @property
     def metric_depth(self) -> bool:
@@ -289,6 +290,8 @@ def loss_forward(
     K = batch["K"]
     inv_K = batch["inv_K"]
 
+    warp_fn = resolve_warp(st.warp_impl)
+
     def warp_all(depth_hw, Ts):
         """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slots gather
         their own source image)."""
@@ -297,7 +300,7 @@ def loss_forward(
         K_r = jnp.repeat(K, S, axis=0)
         iK_r = jnp.repeat(inv_K, S, axis=0)
         grid = geometry.warp_grid(depth_r, K_r, iK_r, Ts.reshape(B * S, 4, 4))
-        return bilinear_sample(
+        return warp_fn(
             sources[:, :S].reshape(B * S, H, W, 3), grid
         ).reshape(B, S, H, W, 3)
 
