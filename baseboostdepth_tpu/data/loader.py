@@ -24,6 +24,7 @@ from PIL import Image
 
 from baseboostdepth_tpu.data import kitti
 from baseboostdepth_tpu.data.curriculum import Stage, sample_f_max
+from baseboostdepth_tpu.native import decode_resize_batch, native_available
 from baseboostdepth_tpu.training.batch import make_batch, num_frames
 
 
@@ -57,6 +58,7 @@ class KittiTrainLoader:
         prefetch: int = 2,
         seed: int = 0,
         drop_last: bool = True,
+        use_native: Optional[bool] = None,
     ):
         self.index = index
         self.stage = stage
@@ -70,6 +72,8 @@ class KittiTrainLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        # native C++ batch decoder when built; PIL threads otherwise
+        self.use_native = native_available() if use_native is None else use_native
         self.F = stage.F
         K, _ = kitti.intrinsics(width, height)
         self._K = K
@@ -77,6 +81,92 @@ class KittiTrainLoader:
     def __len__(self) -> int:
         n = len(self.index)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # ---------------------------------------------------------------- plan
+    def _plan_sample(self, sample_idx: int, rng: np.random.Generator):
+        """Curriculum + augmentation decisions and the frame->path map for
+        one sample (no pixel IO)."""
+        s = self.index.samples[sample_idx]
+        F = self.F
+        NF = num_frames(F)
+
+        if self.classic:
+            f = 1
+        else:
+            f = sample_f_max(
+                s.baseline,
+                self.stage,
+                rng,
+                exists=lambda o: self.index.exists(s.folder, s.frame_index + o, s.side),
+            )
+        do_flip = bool(rng.random() > 0.5)
+
+        paths = {F: self.index.image_path(s.folder, s.frame_index, s.side)}
+        for o in range(1, f + 1):
+            for sign in (1, -1):
+                paths[F + sign * o] = self.index.image_path(
+                    s.folder, s.frame_index + sign * o, s.side
+                )
+        if self.use_stereo and (self.classic or f <= 2):
+            paths[NF - 1] = self.index.image_path(
+                s.folder, s.frame_index, kitti.OTHER_SIDE[s.side]
+            )
+
+        stereo_T = np.eye(4, dtype=np.float32)
+        baseline_sign = -1 if do_flip else 1
+        side_sign = -1 if s.side == "l" else 1
+        stereo_T[0, 3] = side_sign * baseline_sign * 0.1
+
+        jit = np.ones((NF, 4), dtype=np.float32)
+        jit[:, 3] = 0.0
+        if rng.random() > 0.5:
+            jit[:, :3] = rng.uniform(0.8, 1.2, size=(NF, 3))
+            jit[:, 3] = rng.uniform(-0.1, 0.1, size=NF)
+        return paths, f, stereo_T, do_flip, jit
+
+    def _batches_native(self):
+        """One native decode+resize call per batch (C++ thread pool over
+        every frame of every sample); replaces python-side image IO."""
+        order = self.rng.permutation(len(self.index))
+        nb = len(self)
+        F = self.F
+        NF = num_frames(F)
+        for bi in range(nb):
+            idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            plans = [
+                self._plan_sample(int(i), np.random.default_rng(int(sd)))
+                for i, sd in zip(idxs, self.rng.integers(0, 2**63, size=len(idxs)))
+            ]
+            flat_paths, owners = [], []
+            for b, (paths, *_rest) in enumerate(plans):
+                for slot, pth in paths.items():
+                    owners.append((b, slot))
+                    flat_paths.append(pth)
+            decoded, ok = decode_resize_batch(
+                flat_paths, self.width, self.height, threads=self.num_workers
+            )
+            B = len(plans)
+            frames = np.empty((B, NF, self.height, self.width, 3), np.uint8)
+            center = {}
+            for (b, slot), img, good in zip(owners, decoded, ok):
+                if not good:
+                    raise FileNotFoundError(flat_paths[owners.index((b, slot))])
+                frames[b, slot] = img
+                if slot == F:
+                    center[b] = img
+            for b, (paths, f, *_rest) in enumerate(plans):
+                for slot in range(NF):
+                    if slot not in paths:
+                        frames[b, slot] = center[b]
+            f_max = np.array([pl[1] for pl in plans], dtype=np.int64)
+            stereo_T = np.stack([pl[2] for pl in plans])
+            flip = np.array([pl[3] for pl in plans], dtype=bool)
+            jitter = np.stack([pl[4] for pl in plans])
+            K = np.broadcast_to(self._K, (B, 4, 4)).copy()
+            yield make_batch(
+                frames, f_max, K, stereo_T, flip, jitter, F,
+                self.trimin, self.use_stereo, self.classic,
+            )
 
     # ---------------------------------------------------------------- sample
     def _load_sample(self, sample_idx: int, rng: np.random.Generator):
@@ -145,6 +235,9 @@ class KittiTrainLoader:
 
     # ----------------------------------------------------------------- epoch
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.use_native:
+            yield from self._batches_native()
+            return
         order = self.rng.permutation(len(self.index))
         nb = len(self)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:

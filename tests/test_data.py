@@ -76,7 +76,12 @@ def kitti_fixture(tmp_path_factory):
 
 
 class TestKittiLoader:
-    def test_batch_contract(self, kitti_fixture):
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_batch_contract(self, kitti_fixture, use_native):
+        from baseboostdepth_tpu.native import native_available
+
+        if use_native and not native_available():
+            pytest.skip("native loader not built")
         root, split = kitti_fixture
         index = kitti.KittiRawIndex(root, split)
         assert len(index) == 6
@@ -84,7 +89,7 @@ class TestKittiLoader:
         H, W, B = 32, 96, 3
         loader = KittiTrainLoader(
             index, stage, batch_size=B, height=H, width=W, trimin=True,
-            num_workers=2, seed=0,
+            num_workers=2, seed=0, use_native=use_native,
         )
         batches = list(loader)
         assert len(batches) == 2
