@@ -121,6 +121,118 @@ def _sweep(src_ref, px, py, a00, a01, a10, a11):
     return wx, wy
 
 
+def _sweep_packed(src_ref, px, py, a00, a01, a10, a11):
+    """Packed-uint32 variant: each lane holds R | G<<8 | B<<16 of one pixel,
+    so ONE gather fetches all three channels. Masks are exclusive across
+    visits, so the packed integer passes through the masked accumulation
+    intact; channels unpack after the sweep."""
+    Hp, Wp = src_ref.shape
+    n_blocks = Wp // TILE_W
+
+    x0, y0, wx, wy = _tile_indices(px, py)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    q0, r0 = y0 >> 3, y0 & 7
+    q1, r1 = y1 >> 3, y1 & 7
+    g0, xl0 = x0 >> 7, x0 & 127
+    g1, xl1 = x1 >> 7, x1 & 127
+
+    qmin = jnp.min(q0)
+    qmax = jnp.max(q1)
+    gmin = jnp.min(g0)
+    gmax = jnp.max(g1)
+
+    zero = jnp.zeros((TILE_H, TILE_W), jnp.int32)
+    a00[:] = zero
+    a01[:] = zero
+    a10[:] = zero
+    a11[:] = zero
+
+    def band_body(q, carry):
+        band = src_ref[pl.ds(q * TILE_H, TILE_H), :]
+        in_q0 = q0 == q
+        in_q1 = q1 == q
+
+        for g in range(n_blocks):
+
+            def visit(g=g):
+                blk = band[:, g * TILE_W : (g + 1) * TILE_W]
+                m00 = in_q0 & (g0 == g)
+                m01 = in_q0 & (g1 == g)
+                m10 = in_q1 & (g0 == g)
+                m11 = in_q1 & (g1 == g)
+                acc00, acc01, acc10, acc11 = a00[:], a01[:], a10[:], a11[:]
+                for rr in range(TILE_H):
+                    row = jnp.broadcast_to(blk[rr][None, :], (TILE_H, TILE_W))
+                    v_x0 = jnp.take_along_axis(row, xl0, axis=1)
+                    v_x1 = jnp.take_along_axis(row, xl1, axis=1)
+                    hit0 = r0 == rr
+                    hit1 = r1 == rr
+                    acc00 = acc00 + jnp.where(m00 & hit0, v_x0, 0)
+                    acc01 = acc01 + jnp.where(m01 & hit0, v_x1, 0)
+                    acc10 = acc10 + jnp.where(m10 & hit1, v_x0, 0)
+                    acc11 = acc11 + jnp.where(m11 & hit1, v_x1, 0)
+                a00[:] = acc00
+                a01[:] = acc01
+                a10[:] = acc10
+                a11[:] = acc11
+
+            pl.when((g >= gmin) & (g <= gmax))(visit)
+        return carry
+
+    jax.lax.fori_loop(qmin, qmax + 1, band_body, 0)
+    return wx, wy
+
+
+def _unpack(v):
+    """packed int32 -> (r, g, b) floats in [0, 1]."""
+    r = (v & 0xFF).astype(jnp.float32)
+    g = ((v >> 8) & 0xFF).astype(jnp.float32)
+    b = ((v >> 16) & 0xFF).astype(jnp.float32)
+    return r * (1.0 / 255.0), g * (1.0 / 255.0), b * (1.0 / 255.0)
+
+
+def _fwd_kernel_packed(src_ref, px_ref, py_ref, out_ref, a00, a01, a10, a11):
+    bh, bw = px_ref.shape
+    for i0 in range(0, bh, TILE_H):
+        for j0 in range(0, bw, TILE_W):
+            px = px_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+            py = py_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+            wx, wy = _sweep_packed(src_ref, px, py, a00, a01, a10, a11)
+            p00, p01, p10, p11 = a00[:], a01[:], a10[:], a11[:]
+            for c in range(3):
+                v00 = _unpack(p00)[c]
+                v01 = _unpack(p01)[c]
+                v10 = _unpack(p10)[c]
+                v11 = _unpack(p11)[c]
+                top = v00 + (v01 - v00) * wx
+                bot = v10 + (v11 - v10) * wx
+                out_ref[c, i0 : i0 + TILE_H, j0 : j0 + TILE_W] = top + (bot - top) * wy
+
+
+def _bwd_kernel_packed(src_ref, px_ref, py_ref, g_ref, gpx_ref, gpy_ref, a00, a01, a10, a11):
+    bh, bw = px_ref.shape
+    for i0 in range(0, bh, TILE_H):
+        for j0 in range(0, bw, TILE_W):
+            px = px_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+            py = py_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+            wx, wy = _sweep_packed(src_ref, px, py, a00, a01, a10, a11)
+            p00, p01, p10, p11 = a00[:], a01[:], a10[:], a11[:]
+            gpx = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            gpy = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            for c in range(3):
+                v00 = _unpack(p00)[c]
+                v01 = _unpack(p01)[c]
+                v10 = _unpack(p10)[c]
+                v11 = _unpack(p11)[c]
+                g = g_ref[c, i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+                gpx = gpx + g * ((1.0 - wy) * (v01 - v00) + wy * (v11 - v10))
+                gpy = gpy + g * ((1.0 - wx) * (v10 - v00) + wx * (v11 - v01))
+            gpx_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W] = gpx
+            gpy_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W] = gpy
+
+
 def _fwd_kernel(src_ref, px_ref, py_ref, out_ref, a00, a01, a10, a11):
     bh, bw = px_ref.shape
     for i0 in range(0, bh, TILE_H):
@@ -274,3 +386,120 @@ def bilinear_sample_pallas(img: jax.Array, grid: jax.Array, interpret: bool = Fa
     out = out[:, :Ho, :Wo].reshape(B, C, Ho, Wo)
     out = jnp.moveaxis(out, 1, -1)
     return out.reshape(lead + (Ho, Wo, C)).astype(img.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Packed-uint8 public API (the training path: sources are uint8 frames)
+# ---------------------------------------------------------------------------
+_SCRATCH_I32 = [pltpu.VMEM((TILE_H, TILE_W), jnp.int32)] * 4
+
+
+def pack_rgb(frames_u8: jax.Array) -> jax.Array:
+    """uint8 [..., H, W, 3] -> packed int32 [..., H, W] (R | G<<8 | B<<16)."""
+    f = frames_u8.astype(jnp.int32)
+    return f[..., 0] | (f[..., 1] << 8) | (f[..., 2] << 16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _warp_packed(packed, px, py, interpret):
+    out, _ = _warp_packed_fwd(packed, px, py, interpret)
+    return out
+
+
+def _warp_packed_fwd(packed, px, py, interpret):
+    """packed int32 [N, Hp, Wp]; px/py [N, Ho, Wo] clamped pixel coords ->
+    out float32 [N, 3, Ho, Wo] in [0, 1]."""
+    N, Hp, Wp = packed.shape
+    _, Ho, Wo = px.shape
+    bh = min(BLOCK_H, Ho)
+    grid = (N, Ho // bh)
+    coord_spec = pl.BlockSpec((None, bh, Wo), lambda n, i: (n, i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fwd_kernel_packed,
+        out_shape=jax.ShapeDtypeStruct((N, 3, Ho, Wo), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, Hp, Wp), lambda n, i: (n, 0, 0), memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 3, bh, Wo), lambda n, i: (n, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=list(_SCRATCH_I32),
+        interpret=interpret,
+    )(packed, px, py)
+    return out, (packed, px, py)
+
+
+def _warp_packed_bwd(interpret, res, gout):
+    packed, px, py = res
+    N, Hp, Wp = packed.shape
+    _, Ho, Wo = px.shape
+    bh = min(BLOCK_H, Ho)
+    grid = (N, Ho // bh)
+    coord_spec = pl.BlockSpec((None, bh, Wo), lambda n, i: (n, i, 0), memory_space=pltpu.VMEM)
+    gpx, gpy = pl.pallas_call(
+        _bwd_kernel_packed,
+        out_shape=(
+            jax.ShapeDtypeStruct((N, Ho, Wo), jnp.float32),
+            jax.ShapeDtypeStruct((N, Ho, Wo), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, Hp, Wp), lambda n, i: (n, 0, 0), memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
+            pl.BlockSpec((None, 3, bh, Wo), lambda n, i: (n, 0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(coord_spec, coord_spec),
+        scratch_shapes=list(_SCRATCH_I32),
+        interpret=interpret,
+    )(packed, px, py, gout)
+    return None, gpx, gpy
+
+
+_warp_packed.defvjp(_warp_packed_fwd, _warp_packed_bwd)
+
+
+def bilinear_sample_pallas_u8(
+    frames_u8: jax.Array, grid: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Bilinear warp of uint8 RGB sources -> float images in [0, 1].
+
+    Exactly equivalent to bilinear_sample(frames/255, grid) but with all
+    three channels fetched by a single packed gather per corner column
+    (sources are uint8, so the packed round-trip is lossless).
+
+    Args:
+      frames_u8: [..., H, W, 3] uint8.
+      grid: [..., Ho, Wo, 2] normalized coords.
+    Returns:
+      [..., Ho, Wo, 3] float32.
+    """
+    H, W, C = frames_u8.shape[-3:]
+    assert C == 3 and frames_u8.dtype == jnp.uint8
+    lead = frames_u8.shape[:-3]
+    Ho, Wo = grid.shape[-3:-1]
+    B = int(np.prod(lead)) if lead else 1
+
+    x = (grid[..., 0].reshape(B, Ho, Wo) + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1].reshape(B, Ho, Wo) + 1.0) * 0.5 * (H - 1)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+
+    Hp = _round_up(H + 1, TILE_H)
+    Wp = _round_up(W + 1, TILE_W)
+    packed = pack_rgb(frames_u8.reshape(B, H, W, 3))
+    packed = _pad_to(packed, Hp, Wp)
+
+    Hop = _round_up(Ho, BLOCK_H if Ho >= BLOCK_H else TILE_H)
+    Wop = _round_up(Wo, TILE_W)
+    if (Hop, Wop) != (Ho, Wo):
+        x = _pad_to(x, Hop, Wop)
+        y = _pad_to(y, Hop, Wop)
+
+    out = _warp_packed(packed, x, y, interpret)  # [B, 3, Hop, Wop]
+    out = out[:, :, :Ho, :Wo]
+    out = jnp.moveaxis(out, 1, -1)
+    return out.reshape(lead + (Ho, Wo, 3))

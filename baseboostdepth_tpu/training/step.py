@@ -45,6 +45,7 @@ from baseboostdepth_tpu import geometry, losses
 from baseboostdepth_tpu.data.augment import apply_flip, color_jitter
 from baseboostdepth_tpu.models import DEPTH_IS_METRIC, build_depth_net, build_pose_net
 from baseboostdepth_tpu.ops.sampling import bilinear_sample, resolve_warp
+from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas_u8
 from baseboostdepth_tpu.ops.resize import lanczos_pyramid, resize_bilinear
 
 
@@ -221,8 +222,9 @@ def loss_forward(
     noise_key, drop_key = jax.random.split(noise_key)
 
     frames = batch["frames"]
-    color = frames.astype(jnp.float32) / 255.0 if frames.dtype == jnp.uint8 else frames
-    color = apply_flip(color, batch["flip"])
+    is_u8 = frames.dtype == jnp.uint8
+    frames = apply_flip(frames, batch["flip"])
+    color = frames.astype(jnp.float32) / 255.0 if is_u8 else frames
     aug = color_jitter(color, batch["jitter"])
 
     B = color.shape[0]
@@ -278,7 +280,8 @@ def loss_forward(
     src_idx = jnp.concatenate(
         [batch["slot_offset"] + F, jnp.full((B, 1), NF - 1, jnp.int32)], axis=1
     )  # [B, 7]
-    sources = jnp.take_along_axis(color, src_idx[:, :, None, None, None], axis=1)
+    sources_raw = jnp.take_along_axis(frames, src_idx[:, :, None, None, None], axis=1)
+    sources = sources_raw.astype(jnp.float32) / 255.0 if is_u8 else sources_raw
     target = color[:, F]
     slot_valid = batch["slot_valid"]
 
@@ -291,15 +294,21 @@ def loss_forward(
     inv_K = batch["inv_K"]
 
     warp_fn = resolve_warp(st.warp_impl)
+    use_packed = is_u8 and warp_fn is not bilinear_sample
 
     def warp_all(depth_hw, Ts):
         """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slots gather
-        their own source image)."""
+        their own source image). On TPU with uint8 sources the packed
+        Pallas kernel fetches all three channels per gather."""
         S = Ts.shape[1]
         depth_r = jnp.broadcast_to(depth_hw[:, None], (B, S, H, W)).reshape(B * S, H, W)
         K_r = jnp.repeat(K, S, axis=0)
         iK_r = jnp.repeat(inv_K, S, axis=0)
         grid = geometry.warp_grid(depth_r, K_r, iK_r, Ts.reshape(B * S, 4, 4))
+        if use_packed:
+            return bilinear_sample_pallas_u8(
+                sources_raw[:, :S].reshape(B * S, H, W, 3), grid
+            ).reshape(B, S, H, W, 3)
         return warp_fn(
             sources[:, :S].reshape(B * S, H, W, 3), grid
         ).reshape(B, S, H, W, 3)
