@@ -203,6 +203,37 @@ def _gather_slots(lut: jax.Array, slot_offset: jax.Array, F: int) -> jax.Array:
     return jnp.take_along_axis(lut, idx, axis=1)
 
 
+def slot_poses(
+    st: StepStatic,
+    aa: jax.Array,
+    t: jax.Array,
+    slot_offset: jax.Array,
+    slot_partial: jax.Array,
+):
+    """Per-slot poses from the batched pose-net outputs.
+
+    Returns (T_slot [B,6,4,4], T_err [B,6,4,4] or None). Order of
+    operations follows the reference: error poses derive from the chained
+    estimate BEFORE partial replacement (trainer.py:375-377 vs 407-418).
+    """
+    F = st.F
+    lut, lut_dir = _pose_luts(st, aa, t)
+    T_chain = _gather_slots(lut, slot_offset, F)
+
+    T_err = None
+    if st.decomp and st.trimin:
+        T_err = jax.lax.stop_gradient(T_chain)
+        T_err = T_err.at[..., :3, 3].set(T_err[..., :3, 3] / st.pose_error)
+
+    T_slot = T_chain
+    if st.partial and lut_dir is not None:
+        T_dir = _gather_slots(lut_dir, slot_offset, F)
+        T_repl = jnp.concatenate([T_chain[..., :, :3], T_dir[..., :, 3:]], axis=-1)
+        pm = slot_partial[:, :, None, None]
+        T_slot = jnp.where(pm, T_repl, T_chain)
+    return T_slot, T_err
+
+
 # --------------------------------------------------------------------------
 # Loss forward (shared by train and the synthetic tests)
 # --------------------------------------------------------------------------
@@ -257,21 +288,7 @@ def loss_forward(
     aa = aa.reshape(B, P, 3).astype(jnp.float32)
     t = t.reshape(B, P, 3).astype(jnp.float32)
 
-    lut, lut_dir = _pose_luts(st, aa, t)
-    T_chain = _gather_slots(lut, batch["slot_offset"], F)  # [B, 6, 4, 4]
-
-    # error poses from the pre-partial chained estimate (trainer.py:375-377)
-    T_err = None
-    if st.decomp and st.trimin:
-        T_err = jax.lax.stop_gradient(T_chain)
-        T_err = T_err.at[..., :3, 3].set(T_err[..., :3, 3] / st.pose_error)
-
-    T_slot = T_chain
-    if st.partial and lut_dir is not None:
-        T_dir = _gather_slots(lut_dir, batch["slot_offset"], F)
-        T_repl = jnp.concatenate([T_chain[..., :, :3], T_dir[..., :, 3:]], axis=-1)
-        pm = batch["slot_partial"][:, :, None, None]
-        T_slot = jnp.where(pm, T_repl, T_chain)
+    T_slot, T_err = slot_poses(st, aa, t, batch["slot_offset"], batch["slot_partial"])
 
     # all 7 slots: 6 temporal + stereo
     T_slots = jnp.concatenate([T_slot, batch["stereo_T"][:, None]], axis=1)

@@ -171,3 +171,86 @@ class TestLossForward:
             hist.append(float(metrics["loss"]))
         assert all(np.isfinite(hist))
         assert hist[-1] < hist[0], hist
+
+
+class TestPosePlumbing:
+    """Pose lookup tables and slot-pose assembly against manual composition
+    (reference semantics: chained long-jumps trainer.py:348-373, partial
+    translation splice trainer.py:407-418, error pose trainer.py:375-377)."""
+
+    def _random_posenet_out(self, rng, B, P):
+        aa = jnp.asarray(rng.standard_normal((B, P, 3)).astype(np.float32) * 0.05)
+        t = jnp.asarray(rng.standard_normal((B, P, 3)).astype(np.float32) * 0.05)
+        return aa, t
+
+    def test_incremental_lut_matches_manual_chaining(self):
+        from baseboostdepth_tpu import geometry
+        from baseboostdepth_tpu.training.step import _pose_luts
+
+        F = 3
+        st = _static(F, incremental=True)
+        rng = np.random.default_rng(0)
+        B, P = 2, 4 * F - 2
+        aa, t = self._random_posenet_out(rng, B, P)
+        lut, lut_dir = _pose_luts(st, aa, t)
+        assert lut.shape == (B, 2 * F + 1, 4, 4)
+
+        steps_pos = [
+            np.asarray(geometry.transformation_from_parameters(aa[:, g], t[:, g]))
+            for g in range(F)
+        ]
+        steps_neg = [
+            np.asarray(geometry.transformation_from_parameters(aa[:, F + g], t[:, F + g], invert=True))
+            for g in range(F)
+        ]
+        # T(0->g) = step_g @ ... @ step_1
+        acc = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4))
+        for g in range(F):
+            acc = steps_pos[g] @ acc
+            np.testing.assert_allclose(np.asarray(lut[:, F + g + 1]), acc, atol=1e-5)
+        acc = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4))
+        for g in range(F):
+            acc = steps_neg[g] @ acc
+            np.testing.assert_allclose(np.asarray(lut[:, F - g - 1]), acc, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lut[:, F]), np.broadcast_to(np.eye(4), (B, 4, 4)), atol=1e-6)
+
+        # direct lut: g=1 equals the step pose; g>=2 from the direct blocks
+        np.testing.assert_allclose(np.asarray(lut_dir[:, F + 1]), steps_pos[0], atol=1e-6)
+        k = 2 * F
+        for g in range(2, F + 1):
+            direct = np.asarray(
+                geometry.transformation_from_parameters(aa[:, k + g - 2], t[:, k + g - 2])
+            )
+            np.testing.assert_allclose(np.asarray(lut_dir[:, F + g]), direct, atol=1e-6)
+
+    def test_partial_splice_and_error_pose(self):
+        from baseboostdepth_tpu.training.step import _pose_luts, slot_poses
+
+        F = 3
+        st = _static(F, incremental=True)
+        rng = np.random.default_rng(1)
+        B, P = 2, 4 * F - 2
+        aa, t = self._random_posenet_out(rng, B, P)
+
+        slot_offset = np.tile(np.array([3, -3, 2, -2, 1, -1], np.int32), (B, 1))
+        slot_partial = np.tile(
+            np.array([True, True, True, True, False, False]), (B, 1)
+        )
+        T_slot, T_err = slot_poses(
+            st, aa, t, jnp.asarray(slot_offset), jnp.asarray(slot_partial)
+        )
+        lut, lut_dir = _pose_luts(st, aa, t)
+
+        chain3 = np.asarray(lut[:, F + 3])
+        dir3 = np.asarray(lut_dir[:, F + 3])
+        got = np.asarray(T_slot[:, 0])
+        # partial slot: chained rotation columns + direct translation column
+        np.testing.assert_allclose(got[..., :3], chain3[..., :3], atol=1e-6)
+        np.testing.assert_allclose(got[..., 3], dir3[..., 3], atol=1e-6)
+        # non-partial slot (+-1) keeps the chained pose
+        np.testing.assert_allclose(np.asarray(T_slot[:, 4]), np.asarray(lut[:, F + 1]), atol=1e-6)
+        # error pose: chained pose with translation / pose_error
+        np.testing.assert_allclose(
+            np.asarray(T_err[:, 0, :3, 3]), chain3[:, :3, 3] / st.pose_error, atol=1e-6
+        )
+        np.testing.assert_allclose(np.asarray(T_err[:, 0, :3, :3]), chain3[:, :3, :3], atol=1e-6)
