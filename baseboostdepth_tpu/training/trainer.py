@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from typing import Dict, Optional
 
@@ -189,6 +190,22 @@ class Trainer:
         cfg = self.cfg
         t0 = time.time()
         global_step = int(jax.device_get(self.state.step))
+
+        # failure handling the reference lacks (SURVEY.md section 5): emergency
+        # checkpoint on SIGTERM/SIGINT so preempted runs resume cleanly, and a
+        # NaN guard that saves state for post-mortem before aborting.
+        stop_requested = {"flag": False}
+
+        def _on_signal(signum, frame):
+            print(f"signal {signum}: checkpointing and stopping after this step")
+            stop_requested["flag"] = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:
+                pass  # not the main thread
         print(f"training {cfg.log.model_name}: {len(self.train_index)} samples, "
               f"{self.steps_per_epoch} steps/epoch, mesh={self.mesh.devices.size} device(s)")
         for epoch in range(self.start_epoch, cfg.optim.num_epochs):
@@ -224,8 +241,16 @@ class Trainer:
                 global_step += 1
                 seen += cfg.optim.batch_size
 
+                if stop_requested["flag"]:
+                    self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "preempted": True})
+                    print("emergency checkpoint written; exiting")
+                    return
+
                 if bi % cfg.log.log_frequency == 0 and bi > 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                    if not all(map(lambda v: v == v and abs(v) < 1e6, m.values())):
+                        self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "nan": True})
+                        raise FloatingPointError(f"non-finite loss at step {global_step}: {m}")
                     rate = seen / (time.time() - t_epoch)
                     elapsed = time.time() - t0
                     m.update(epoch=epoch, imgs_per_sec=rate)
@@ -239,6 +264,8 @@ class Trainer:
 
             if (epoch + 1) % cfg.log.save_frequency == 0:
                 self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch})
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         self.logger.close()
 
     # ------------------------------------------------------------------

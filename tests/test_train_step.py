@@ -254,3 +254,25 @@ class TestPosePlumbing:
             np.asarray(T_err[:, 0, :3, 3]), chain3[:, :3, 3] / st.pose_error, atol=1e-6
         )
         np.testing.assert_allclose(np.asarray(T_err[:, 0, :3, :3]), chain3[:, :3, :3], atol=1e-6)
+
+
+def test_vit_optimizer_grouping():
+    """MonoViT two-group AdamW: depth-encoder params get the lower LR
+    (reference trainer.py:106-109). Verify the label function routes the
+    encoder subtree to the 'encoder' transform."""
+    from baseboostdepth_tpu.training.optim import make_optimizer
+
+    params = {
+        "depth": {"encoder": {"w": jnp.ones((2,))}, "decoder": {"w": jnp.ones((2,))}},
+        "pose": {"encoder": {"w": jnp.ones((2,))}},
+    }
+    opt = make_optimizer(learning_rate=1e-4, steps_per_epoch=10, vit=True, vit_encoder_lr=5e-5)
+    state = opt.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = opt.update(grads, state, params)
+    # AdamW with constant grads: |update| == lr (per-group)
+    enc = float(jnp.abs(updates["depth"]["encoder"]["w"][0]))
+    dec = float(jnp.abs(updates["depth"]["decoder"]["w"][0]))
+    pose = float(jnp.abs(updates["pose"]["encoder"]["w"][0]))
+    assert enc < dec * 0.75, (enc, dec)  # encoder at 5e-5-ish vs 1e-4-ish
+    assert abs(pose - dec) / dec < 0.2   # pose encoder is NOT the depth encoder
