@@ -30,9 +30,32 @@ def main(argv=None):
     ap.add_argument("--post_process", action="store_true")
     ap.add_argument("--chamfer", action="store_true")
     ap.add_argument("--save_pred_disps", default=None)
+    ap.add_argument("--ext_disp_to_eval", default=None,
+                    help="evaluate a saved .npy disparity stack instead of a model")
     args = ap.parse_args(argv)
 
     cfg = Config.load(args.config)
+
+    if args.ext_disp_to_eval:
+        # metric loop only, over precomputed disparities (reference
+        # evaluate_depth.py --ext_disp_to_eval)
+        import os
+
+        import numpy as np
+
+        from baseboostdepth_tpu.evaluation import metrics as M
+
+        disps = np.load(args.ext_disp_to_eval)
+        gt = np.load(
+            os.path.join(cfg.data.splits_dir, args.split, "gt_depths.npz"),
+            fix_imports=True, encoding="latin1", allow_pickle=True,
+        )["data"]
+        protocol = M.EvalProtocol.stereo() if args.stereo else M.EvalProtocol.mono()
+        mean_errors, _ = M.evaluate_disparities(disps, list(gt), protocol)
+        result = dict(zip(M.METRIC_NAMES, mean_errors.tolist()))
+        print_metrics(result)
+        return
+
     st = StepStatic(
         zoo=cfg.model.zoo, num_layers=cfg.model.num_layers,
         height=cfg.data.height, width=cfg.data.width, dtype=cfg.model.dtype,

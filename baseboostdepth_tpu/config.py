@@ -21,7 +21,8 @@ class ModelConfig:
     num_layers: int = 18  # ResNet depth for md2 (reference --num_layers)
     weights_init: str = "scratch"  # "pretrained" needs a torch ckpt to import
     pretrained_path: Optional[str] = None  # torchvision/MPViT .pth to import
-    dtype: str = "float32"  # compute dtype: float32 | bfloat16
+    dtype: str = "bfloat16"  # conv/attention compute dtype (params, losses,
+    # geometry and BN statistics stay float32); set float32 for bit-parity runs
 
 
 @dataclass

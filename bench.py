@@ -44,6 +44,7 @@ def main():
         partial=True,
         decomp=True,
         pose_error=5.5,
+        dtype="bfloat16",  # the default training config (fp32 params/losses)
     )
     opt = make_optimizer(steps_per_epoch=3317)
     state = init_state(st, opt, jax.random.PRNGKey(0))

@@ -41,6 +41,7 @@ def _config(data, splits, logs):
     cfg.data.height = 32
     cfg.data.width = 64
     cfg.data.num_workers = 2
+    cfg.model.dtype = "float32"  # CPU test speed
     cfg.optim.batch_size = 8
     cfg.optim.num_epochs = 1
     cfg.log.log_dir = logs
