@@ -86,7 +86,7 @@ def evaluate_disparities(
     errors = []
     ratios = []
     for i in range(pred_disps.shape[0]):
-        gt = gt_depths[i]
+        gt = np.asarray(gt_depths[i], dtype=np.float32)
         gh, gw = gt.shape[:2]
         pd = cv2.resize(pred_disps[i], (gw, gh))
         pred_depth = (1.0 / pd) if p.disp_input else pd

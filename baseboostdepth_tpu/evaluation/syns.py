@@ -112,7 +112,7 @@ def evaluate_syns(
     inv_K3 = np.linalg.pinv(syns_intrinsics())
     rows = []
     for i in range(disps.shape[0]):
-        gt = gt_depths[i]
+        gt = np.asarray(gt_depths[i], dtype=np.float32)
         gh, gw = gt.shape[:2]
         pd = cv2.resize(disps[i], (gw, gh))
         pred_depth = pd if st.metric_depth else 1.0 / pd
