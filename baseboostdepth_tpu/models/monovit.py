@@ -132,9 +132,14 @@ class ConvRelPosEnc(nn.Module):
 
 
 class FactorAttention(nn.Module):
-    """Factorized attention: Q @ (softmax_N(K)^T V) + CRPE (mpvit.py:333-393)."""
+    """Factorized attention: Q @ (softmax_N(K)^T V) + CRPE (mpvit.py:333-393).
+
+    `crpe` is a module owned by the enclosing path encoder: the reference
+    shares one ConvRelPosEnc across all blocks of a path
+    (mpvit.py:453-465), and the checkpoint layout depends on that."""
 
     dim: int
+    crpe: nn.Module
     num_heads: int = 8
     dtype: Any = jnp.float32
 
@@ -154,9 +159,7 @@ class FactorAttention(nn.Module):
         ktv = jnp.einsum("bhnk,bhnv->bhkv", k_soft, v)
         att = jnp.einsum("bhnk,bhkv->bhnv", q, ktv)
 
-        crpe = ConvRelPosEnc(head_dim=Ch, num_heads=h, dtype=self.dtype, name="crpe")(
-            q, v, H, W
-        )
+        crpe = self.crpe(q, v, H, W)
         scale = Ch**-0.5
         out = scale * att + crpe
         out = jnp.moveaxis(out, 1, 2).reshape(B, N, C)
@@ -165,6 +168,7 @@ class FactorAttention(nn.Module):
 
 class MHCABlock(nn.Module):
     dim: int
+    crpe: nn.Module
     num_heads: int = 8
     mlp_ratio: int = 4
     drop_path: float = 0.0
@@ -180,7 +184,7 @@ class MHCABlock(nn.Module):
             )(y)
 
         cur = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + dp(FactorAttention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(cur, H, W))
+        x = x + dp(FactorAttention(self.dim, crpe=self.crpe, num_heads=self.num_heads, dtype=self.dtype, name="attn")(cur, H, W))
         cur = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(cur)
         y = nn.gelu(y)
@@ -202,14 +206,19 @@ class MHCAEncoder(nn.Module):
     def __call__(self, x, train: bool):  # [B, H, W, C]
         B, H, W, C = x.shape
         cpe = ConvPosEnc(self.dim, dtype=self.dtype, name="cpe")
+        crpe = ConvRelPosEnc(
+            head_dim=self.dim // self.num_heads, num_heads=self.num_heads,
+            dtype=self.dtype, name="crpe",
+        )
         tokens = None
         for i in range(self.num_layers):
             x = cpe(x)  # shared module, applied per block (mpvit.py:429-430)
             tokens = x.reshape(B, H * W, C)
             tokens = MHCABlock(
                 self.dim,
-                self.num_heads,
-                self.mlp_ratio,
+                crpe=crpe,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
                 drop_path=self.drop_path_list[i] if self.drop_path_list else 0.0,
                 dtype=self.dtype,
                 name=f"block_{i}",

@@ -223,3 +223,101 @@ def _merge(dst, src):
                 assert tuple(out[k].shape) == tuple(np.shape(v)), (k, out[k].shape, np.shape(v))
             out[k] = np.asarray(v, dtype=np.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MPViT (MonoViT encoder) importer
+# ---------------------------------------------------------------------------
+def mpvit_torch_to_flax(
+    sd: Dict[str, np.ndarray],
+    num_path=(2, 3, 3, 3),
+    num_layers=(1, 3, 6, 3),
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Vendored-MPViT state dict (networksvit/mpvit.py module names; the
+    released mpvit_small.pth the reference loads at mpvit.py:815) -> our
+    models.monovit.MPViT params/batch_stats."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_bn(dst: str, src: str):
+        params[dst] = {
+            "conv": {"kernel": _conv_w(sd[src + ".conv.weight"])},
+            "bn": {"scale": sd[src + ".bn.weight"], "bias": sd[src + ".bn.bias"]},
+        }
+        stats[dst] = {
+            "bn": {"mean": sd[src + ".bn.running_mean"], "var": sd[src + ".bn.running_var"]}
+        }
+
+    def dense(src: str):
+        return {"kernel": sd[src + ".weight"].T, "bias": sd[src + ".bias"]}
+
+    def ln(src: str):
+        return {"scale": sd[src + ".weight"], "bias": sd[src + ".bias"]}
+
+    conv_bn("stem_0", "stem.0")
+    conv_bn("stem_1", "stem.1")
+
+    for s in range(4):
+        for p in range(num_path[s]):
+            src = f"patch_embed_stages.{s}.patch_embeds.{p}.patch_conv"
+            dst = f"stage{s}_embed{p}"
+            params[dst] = {
+                "dwconv": {"kernel": _dw_conv_w(sd[src + ".dwconv.weight"])},
+                "pwconv": {"kernel": _conv_w(sd[src + ".pwconv.weight"])},
+                "bn": {"scale": sd[src + ".bn.weight"], "bias": sd[src + ".bn.bias"]},
+            }
+            stats[dst] = {
+                "bn": {"mean": sd[src + ".bn.running_mean"], "var": sd[src + ".bn.running_var"]}
+            }
+
+        # conv path (InvRes / ResBlock)
+        src = f"mhca_stages.{s}.InvRes"
+        dst = f"stage{s}_invres"
+        params[dst] = {
+            "conv1": {
+                "conv": {"kernel": _conv_w(sd[src + ".conv1.conv.weight"])},
+                "bn": {"scale": sd[src + ".conv1.bn.weight"], "bias": sd[src + ".conv1.bn.bias"]},
+            },
+            "dwconv": {"kernel": _dw_conv_w(sd[src + ".dwconv.weight"])},
+            "norm": {"scale": sd[src + ".norm.weight"], "bias": sd[src + ".norm.bias"]},
+            "conv2": {
+                "conv": {"kernel": _conv_w(sd[src + ".conv2.conv.weight"])},
+                "bn": {"scale": sd[src + ".conv2.bn.weight"], "bias": sd[src + ".conv2.bn.bias"]},
+            },
+        }
+        stats[dst] = {
+            "conv1": {"bn": {"mean": sd[src + ".conv1.bn.running_mean"], "var": sd[src + ".conv1.bn.running_var"]}},
+            "norm": {"mean": sd[src + ".norm.running_mean"], "var": sd[src + ".norm.running_var"]},
+            "conv2": {"bn": {"mean": sd[src + ".conv2.bn.running_mean"], "var": sd[src + ".conv2.bn.running_var"]}},
+        }
+
+        # transformer paths
+        for p in range(num_path[s]):
+            src = f"mhca_stages.{s}.mhca_blks.{p}"
+            dst = f"stage{s}_path{p}"
+            pd: Dict[str, Any] = {
+                "cpe": {"proj": {"kernel": _dw_conv_w(sd[src + ".cpe.proj.weight"]),
+                                  "bias": sd[src + ".cpe.proj.bias"]}},
+                "crpe": {},
+            }
+            for k in range(3):
+                pd["crpe"][f"conv_{k}"] = {
+                    "kernel": _dw_conv_w(sd[f"{src}.crpe.conv_list.{k}.weight"]),
+                    "bias": sd[f"{src}.crpe.conv_list.{k}.bias"],
+                }
+            for i in range(num_layers[s]):
+                blk = f"{src}.MHCA_layers.{i}"
+                pd[f"block_{i}"] = {
+                    "norm1": ln(blk + ".norm1"),
+                    "norm2": ln(blk + ".norm2"),
+                    "attn": {
+                        "qkv": dense(blk + ".factoratt_crpe.qkv"),
+                        "proj": dense(blk + ".factoratt_crpe.proj"),
+                    },
+                    "mlp_fc1": dense(blk + ".mlp.fc1"),
+                    "mlp_fc2": dense(blk + ".mlp.fc2"),
+                }
+            params[dst] = pd
+
+        conv_bn(f"stage{s}_aggregate", f"mhca_stages.{s}.aggregate")
+    return params, stats

@@ -132,3 +132,84 @@ class TestDecoderImport:
         net = build_pose_net()
         v = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False)
         assert _tree_shapes(params) == _tree_shapes(v["params"]["decoder"])
+
+
+class TestMPViTImport:
+    def test_structure_matches_flax_init(self):
+        """Synthetic vendored-MPViT state dict converts onto our MPViT tree
+        exactly (shapes + structure)."""
+        from baseboostdepth_tpu.models.monovit import MPViT
+        from baseboostdepth_tpu.models.torch_import import mpvit_torch_to_flax
+
+        enc = MPViT()
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 128, 3)), train=False)
+        ref_p, ref_s = v["params"], v["batch_stats"]
+
+        # build a torch-layout dict with shapes inverted from the flax tree
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def conv_t(k):  # flax [kh,kw,I,O] -> torch [O,I,kh,kw]
+            return rng.standard_normal(
+                (k.shape[3], k.shape[2], k.shape[0], k.shape[1])
+            ).astype(np.float32)
+
+        def fill_convbn(dst_flax, src):
+            sd[src + ".conv.weight"] = conv_t(ref_p[dst_flax]["conv"]["kernel"])
+            c = ref_p[dst_flax]["bn"]["scale"].shape[0]
+            for nm, sh in (("weight", c), ("bias", c), ("running_mean", c), ("running_var", c)):
+                sd[src + f".bn.{nm}"] = rng.standard_normal(sh).astype(np.float32)
+
+        fill_convbn("stem_0", "stem.0")
+        fill_convbn("stem_1", "stem.1")
+        num_path, num_layers = (2, 3, 3, 3), (1, 3, 6, 3)
+        for s in range(4):
+            for p in range(num_path[s]):
+                dst = f"stage{s}_embed{p}"
+                src = f"patch_embed_stages.{s}.patch_embeds.{p}.patch_conv"
+                sd[src + ".dwconv.weight"] = conv_t(ref_p[dst]["dwconv"]["kernel"])
+                sd[src + ".pwconv.weight"] = conv_t(ref_p[dst]["pwconv"]["kernel"])
+                c = ref_p[dst]["bn"]["scale"].shape[0]
+                for nm in ("weight", "bias", "running_mean", "running_var"):
+                    sd[src + f".bn.{nm}"] = rng.standard_normal(c).astype(np.float32)
+            dst = f"stage{s}_invres"
+            src = f"mhca_stages.{s}.InvRes"
+            sd[src + ".conv1.conv.weight"] = conv_t(ref_p[dst]["conv1"]["conv"]["kernel"])
+            sd[src + ".dwconv.weight"] = conv_t(ref_p[dst]["dwconv"]["kernel"])
+            sd[src + ".conv2.conv.weight"] = conv_t(ref_p[dst]["conv2"]["conv"]["kernel"])
+            for bnname, c in (
+                ("conv1.bn", ref_p[dst]["conv1"]["bn"]["scale"].shape[0]),
+                ("norm", ref_p[dst]["norm"]["scale"].shape[0]),
+                ("conv2.bn", ref_p[dst]["conv2"]["bn"]["scale"].shape[0]),
+            ):
+                for nm in ("weight", "bias", "running_mean", "running_var"):
+                    sd[src + f".{bnname}.{nm}"] = rng.standard_normal(c).astype(np.float32)
+            for p in range(num_path[s]):
+                dst = f"stage{s}_path{p}"
+                src = f"mhca_stages.{s}.mhca_blks.{p}"
+                sd[src + ".cpe.proj.weight"] = conv_t(ref_p[dst]["cpe"]["proj"]["kernel"])
+                sd[src + ".cpe.proj.bias"] = rng.standard_normal(
+                    ref_p[dst]["cpe"]["proj"]["bias"].shape[0]).astype(np.float32)
+                for k in range(3):
+                    kk = ref_p[dst]["crpe"][f"conv_{k}"]["kernel"]
+                    sd[f"{src}.crpe.conv_list.{k}.weight"] = conv_t(kk)
+                    sd[f"{src}.crpe.conv_list.{k}.bias"] = rng.standard_normal(kk.shape[3]).astype(np.float32)
+                for i in range(num_layers[s]):
+                    blk = f"{src}.MHCA_layers.{i}"
+                    bp = ref_p[dst][f"block_{i}"]
+                    for lnn in ("norm1", "norm2"):
+                        c = bp[lnn]["scale"].shape[0]
+                        sd[blk + f".{lnn}.weight"] = rng.standard_normal(c).astype(np.float32)
+                        sd[blk + f".{lnn}.bias"] = rng.standard_normal(c).astype(np.float32)
+                    for dn, tn in (
+                        ("attn.qkv", ".factoratt_crpe.qkv"), ("attn.proj", ".factoratt_crpe.proj"),
+                        ("mlp_fc1", ".mlp.fc1"), ("mlp_fc2", ".mlp.fc2"),
+                    ):
+                        node = bp["attn"][dn.split(".")[1]] if dn.startswith("attn") else bp[dn]
+                        sd[blk + tn + ".weight"] = rng.standard_normal(node["kernel"].shape[::-1]).astype(np.float32)
+                        sd[blk + tn + ".bias"] = rng.standard_normal(node["bias"].shape[0]).astype(np.float32)
+            fill_convbn(f"stage{s}_aggregate", f"mhca_stages.{s}.aggregate")
+
+        params, stats = mpvit_torch_to_flax(sd)
+        assert _tree_shapes(params) == _tree_shapes(ref_p)
+        assert _tree_shapes(stats) == _tree_shapes(ref_s)
