@@ -276,3 +276,29 @@ def test_vit_optimizer_grouping():
     pose = float(jnp.abs(updates["pose"]["encoder"]["w"][0]))
     assert enc < dec * 0.75, (enc, dec)  # encoder at 5e-5-ish vs 1e-4-ish
     assert abs(pose - dec) / dec < 0.2   # pose encoder is NOT the depth encoder
+
+
+def test_classic_monodepth2_mode():
+    """curriculum=False: frames [0,-1,1,'s'], joint min over temporal+stereo
+    candidates, no trimin/decomp."""
+    st = StepStatic(zoo="md2", height=H, width=W, F=1, scales=(0, 1),
+                    trimin=False, incremental=False, partial=False, decomp=False)
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    batch = _toy_batch(np.random.default_rng(7), 2, 1, trimin=False,
+                       f_max=np.array([1, 1]), classic=True)
+    assert batch["slot_valid"][:, 6].all()  # stereo always on in classic mode
+    batch = jax.tree.map(jnp.asarray, batch)
+    loss, (metrics, _) = loss_forward(state.params, state.stats, batch,
+                                      jax.random.PRNGKey(1), st, True)
+    assert np.isfinite(float(loss))
+
+
+def test_no_ssim_flag():
+    st = StepStatic(zoo="md2", height=H, width=W, F=1, scales=(0,),
+                    trimin=True, use_ssim=False)
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, _toy_batch(np.random.default_rng(8), 2, 1))
+    loss, _ = loss_forward(state.params, state.stats, batch, jax.random.PRNGKey(1), st, True)
+    assert np.isfinite(float(loss))
