@@ -37,6 +37,13 @@ def stereo_index(F: int) -> int:
     return 2 * F + 1
 
 
+def num_temporal_slots(F: int, trimin: bool) -> int:
+    """Stage-wide temporal slot count: at F <= 2 the tri-min slot pairs
+    +-(f-1)/+-(f-2) can never all exist, so the candidate axis shrinks and
+    the early-curriculum step warps ~30% less."""
+    return min(6, 2 * F) if trimin else 2
+
+
 def slot_table(
     f_max: int, F: int, trimin: bool, use_stereo: bool, classic: bool = False
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -103,13 +110,18 @@ def make_batch(
 ) -> Dict[str, np.ndarray]:
     """Assemble the per-step batch dict from per-sample pieces."""
     B = frames.shape[0]
-    off = np.zeros((B, 6), dtype=np.int32)
-    valid = np.zeros((B, 7), dtype=bool)
-    partial = np.zeros((B, 6), dtype=bool)
+    off6 = np.zeros((B, 6), dtype=np.int32)
+    valid7 = np.zeros((B, 7), dtype=bool)
+    partial6 = np.zeros((B, 6), dtype=bool)
     for b in range(B):
-        off[b], valid[b], partial[b] = slot_table(
+        off6[b], valid7[b], partial6[b] = slot_table(
             int(f_max[b]), F, trimin, use_stereo, classic
         )
+    S = num_temporal_slots(F, trimin)
+    assert not valid7[:, S:6].any(), "slot beyond the stage slot budget"
+    off = off6[:, :S]
+    valid = np.concatenate([valid7[:, :S], valid7[:, 6:7]], axis=1)
+    partial = partial6[:, :S]
     return {
         "frames": frames,
         "slot_offset": off,

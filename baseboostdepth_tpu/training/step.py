@@ -347,7 +347,7 @@ def loss_forward(
         if T_err is not None:
             warped_e = warp_all(depth, T_err)
             err_l = losses.slot_losses(
-                target, warped_e, slot_valid[:, :6], use_ssim=st.use_ssim
+                target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim
             )
 
         min_l = losses.min_reprojection(warp_l, ident_l, noise, err_l)

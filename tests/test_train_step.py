@@ -287,7 +287,7 @@ def test_classic_monodepth2_mode():
     state = init_state(st, opt, jax.random.PRNGKey(0))
     batch = _toy_batch(np.random.default_rng(7), 2, 1, trimin=False,
                        f_max=np.array([1, 1]), classic=True)
-    assert batch["slot_valid"][:, 6].all()  # stereo always on in classic mode
+    assert batch["slot_valid"][:, -1].all()  # stereo always on in classic mode
     batch = jax.tree.map(jnp.asarray, batch)
     loss, (metrics, _) = loss_forward(state.params, state.stats, batch,
                                       jax.random.PRNGKey(1), st, True)
