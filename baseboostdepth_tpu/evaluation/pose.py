@@ -20,7 +20,6 @@ from baseboostdepth_tpu.config import Config
 from baseboostdepth_tpu.data import kitti
 from baseboostdepth_tpu.data.loader import load_resized
 from baseboostdepth_tpu.models import build_pose_net
-from baseboostdepth_tpu.utils import readlines
 
 
 def dump_xyz(source_to_target_transformations) -> np.ndarray:

@@ -11,8 +11,6 @@ KITTI FOV (datasets/syns_dataset.py:20-36).
 from __future__ import annotations
 
 import os
-from typing import List, Optional
-
 import numpy as np
 
 from baseboostdepth_tpu.config import Config

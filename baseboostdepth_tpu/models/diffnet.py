@@ -21,12 +21,10 @@ from __future__ import annotations
 
 from typing import Any, List, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from baseboostdepth_tpu.models.depth_decoder import ConvBlock, ReflectConv3x3
-from baseboostdepth_tpu.models.monovit import AttentionModule as _AttModuleBase
 from baseboostdepth_tpu.models.monovit import ChannelAttention
 from baseboostdepth_tpu.models.resnet import BasicBlock, Bottleneck, _BN, _Conv
 from baseboostdepth_tpu.ops.resize import upsample2x_nearest

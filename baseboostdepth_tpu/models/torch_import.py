@@ -11,7 +11,6 @@ metric-parity checks against published checkpoints.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Tuple
 
 import numpy as np

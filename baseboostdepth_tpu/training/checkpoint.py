@@ -12,7 +12,6 @@ import json
 import os
 from typing import Any, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 

@@ -32,8 +32,7 @@ x_min_opt trainer.py:983-1100). Differences by design:
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
