@@ -68,6 +68,10 @@ class StepStatic:
     min_depth: float = 0.1
     max_depth: float = 100.0
     smooth_weight: float = 1e-3
+    # loss normalizer: the reference divides by len(initial opt.scales) == 4
+    # even in late epochs that compute one scale (trainer.py:44 vs 568);
+    # harmless under Adam but kept for logged-loss comparability.
+    loss_norm_scales: int = 4
     dtype: str = "float32"
     warp_impl: str = "auto"  # auto | pallas | xla
 
@@ -364,7 +368,7 @@ def loss_forward(
         metrics[f"loss/{s}"] = loss_s
         total = total + loss_s
 
-    total = total / len(st.scales)
+    total = total / st.loss_norm_scales
     metrics["loss"] = total
     new_stats = {"depth": new_dstats, "pose": new_pstats}
     return total, (metrics, new_stats)
