@@ -72,8 +72,11 @@ class KittiTrainLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
-        # native C++ batch decoder when built; PIL threads otherwise
-        self.use_native = native_available() if use_native is None else use_native
+        # native C++ batch decoder when built; PIL threads otherwise.
+        # The native decoder is JPEG-only -- PNG datasets (--data.png) fall
+        # back to PIL.
+        jpeg = getattr(index, "img_ext", ".jpg") == ".jpg"
+        self.use_native = (native_available() and jpeg) if use_native is None else use_native
         self.F = stage.F
         K, _ = kitti.intrinsics(width, height)
         self._K = K
