@@ -59,8 +59,9 @@ class MetricLogger:
 
     def log(self, step: int, payload: Dict[str, float]):
         rec = {"step": int(step), "t": time.time(), **{k: float(v) for k, v in payload.items()}}
-        self._f.write(json.dumps(rec) + "\n")
-        self._f.flush()
+        if not self._f.closed:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
         if self._wandb is not None:
             self._wandb.log(payload, step=step)
 

@@ -31,6 +31,15 @@ def tiny_kitti(tmp_path_factory):
             Image.fromarray(img).save(d / f"{i:010d}.jpg")
     lines = [f"{folder} {i} l kt 0.05" for i in range(4, 12)]
     (splits / "train_files_baselines.txt").write_text("\n".join(lines) + "\n")
+    # online-validation assets: two val frames + matching GT
+    (splits / "val_files.txt").write_text(
+        f"{folder} 13 l\n{folder} 14 l\n"
+    )
+    yy = np.linspace(2, 50, 32)[:, None] * np.ones((1, 100))
+    gt = np.empty(2, dtype=object)
+    for i in range(2):
+        gt[i] = yy.astype(np.float32)
+    np.savez_compressed(splits / "gt_depths.npz", data=gt)
     return str(data), str(root / "splits"), str(root / "logs")
 
 
@@ -57,7 +66,16 @@ def test_trainer_one_epoch_and_resume(tiny_kitti):
     cfg = _config(data, splits, logs)
     tr = Trainer(cfg)
     assert tr.steps_per_epoch == 1
+    assert tr.gt_depths is not None  # val assets picked up
     tr.train()
+
+    # the online-validation path (eigen_zhou val + median-scaled Garg-crop
+    # metrics + best-abs_rel checkpoint, reference trainer.py:623-665)
+    st = tr._static_for_stage(
+        __import__("baseboostdepth_tpu.data.curriculum", fromlist=["stage_for_epoch"]).stage_for_epoch(0, cfg.method.trimin)
+    )
+    tr.validate(st, 1, 0, 0)
+    assert tr.best_abs_rel < 10.0
 
     # metrics logged, checkpoint saved
     metrics_file = os.path.join(logs, "e2e", "metrics.jsonl")
