@@ -136,3 +136,57 @@ class TestResize:
             torch.from_numpy(x).permute(0, 3, 1, 2), size=(48, 80), mode="bilinear", align_corners=False
         )
         np.testing.assert_allclose(ours, ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+class TestSmoothLoss:
+    def test_matches_torch_reference_formula(self):
+        """Edge-aware smoothness (reference layers.py:203-216) vs a torch
+        re-derivation."""
+        from baseboostdepth_tpu.losses import normalized_disp, smooth_loss
+
+        rng = np.random.RandomState(11)
+        disp = rng.uniform(0.01, 1, (2, 16, 24, 1)).astype(np.float32)
+        img = rng.uniform(0, 1, (2, 16, 24, 3)).astype(np.float32)
+
+        ours = float(smooth_loss(jnp.asarray(disp), jnp.asarray(img)))
+
+        d = torch.from_numpy(disp).permute(0, 3, 1, 2)
+        im = torch.from_numpy(img).permute(0, 3, 1, 2)
+        gdx = torch.abs(d[:, :, :, :-1] - d[:, :, :, 1:])
+        gdy = torch.abs(d[:, :, :-1, :] - d[:, :, 1:, :])
+        gix = torch.mean(torch.abs(im[:, :, :, :-1] - im[:, :, :, 1:]), 1, keepdim=True)
+        giy = torch.mean(torch.abs(im[:, :, :-1, :] - im[:, :, 1:, :]), 1, keepdim=True)
+        ref = (gdx * torch.exp(-gix)).mean() + (gdy * torch.exp(-giy)).mean()
+        np.testing.assert_allclose(ours, float(ref), rtol=1e-5)
+
+        # normalization: disp / (mean + 1e-7)
+        nd = np.asarray(normalized_disp(jnp.asarray(disp)))
+        ref_nd = disp / (disp.mean(axis=(1, 2), keepdims=True) + 1e-7)
+        np.testing.assert_allclose(nd, ref_nd, rtol=1e-5)
+
+
+class TestLanczosPyramid:
+    def test_matches_pil_cascade(self):
+        """Device-side pyramid vs the reference's host-side PIL LANCZOS
+        cascade (mono_dataset.py:190-192): each scale resized from the
+        previous one."""
+        from PIL import Image
+        from baseboostdepth_tpu.ops.resize import lanczos_pyramid
+
+        rng = np.random.RandomState(12)
+        base = rng.randint(0, 255, (12, 40, 3), dtype=np.uint8)
+        img = np.asarray(Image.fromarray(base).resize((128, 64), Image.BILINEAR))
+
+        pyr = lanczos_pyramid(jnp.asarray(img[None].astype(np.float32) / 255.0), 4)
+
+        pil = Image.fromarray(img)
+        cur = pil
+        for s in range(1, 4):
+            cur = cur.resize((128 // 2**s, 64 // 2**s), Image.LANCZOS)
+            ref = np.asarray(cur).astype(np.float32) / 255.0
+            got = np.asarray(pyr[s][0])
+            # PIL quantizes to uint8 between cascade levels; jax stays float
+            err = np.abs(got - ref)
+            assert err.mean() < 0.01 and np.percentile(err, 99) < 0.04, (
+                s, err.mean(), err.max()
+            )
