@@ -119,6 +119,10 @@ def make_batch(
         )
     S = num_temporal_slots(F, trimin)
     assert not valid7[:, S:6].any(), "slot beyond the stage slot budget"
+    assert valid7.any(axis=1).all(), (
+        "sample with no valid loss candidate (stereo-only sample without "
+        "use_stereo?)"
+    )
     off = off6[:, :S]
     valid = np.concatenate([valid7[:, :S], valid7[:, 6:7]], axis=1)
     partial = partial6[:, :S]

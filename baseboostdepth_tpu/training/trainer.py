@@ -78,6 +78,11 @@ class Trainer:
 
         assert cfg.data.height % 32 == 0 and cfg.data.width % 32 == 0, \
             "height/width must be multiples of 32"
+        # the reference's curriculum path always adds the stereo frame for
+        # narrow windows (mono_dataset.py:91-92,107-108) -- without stereo,
+        # stereo-only samples would have no loss candidate at all
+        assert cfg.method.use_stereo or not cfg.method.curriculum, \
+            "curriculum training requires use_stereo (as in the reference)"
 
         split_dir = os.path.join(cfg.data.splits_dir, cfg.data.split)
         train_file = os.path.join(split_dir, "train_files_baselines.txt")
