@@ -1,0 +1,76 @@
+"""CLI smoke tests: infer and evaluate_depth --ext_disp_to_eval run end to
+end from a saved checkpoint / saved disparities."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from baseboostdepth_tpu.config import Config
+from baseboostdepth_tpu.training.checkpoint import CheckpointManager
+from baseboostdepth_tpu.training.optim import make_optimizer
+from baseboostdepth_tpu.training.step import StepStatic, init_state
+
+H, W = 32, 64
+
+
+@pytest.fixture(scope="module")
+def saved_checkpoint(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    st = StepStatic(zoo="md2", height=H, width=W, dtype="float32")
+    state = init_state(st, make_optimizer(), jax.random.PRNGKey(0))
+    ckpt_dir = str(root / "ckpt")
+    CheckpointManager(ckpt_dir).save(1, jax.device_get(state))
+    cfg = Config()
+    cfg.data.height = H
+    cfg.data.width = W
+    cfg.model.dtype = "float32"
+    cfg_path = str(root / "config.json")
+    cfg.save(cfg_path)
+    return str(root), cfg_path, ckpt_dir
+
+
+def test_infer_cli(saved_checkpoint, tmp_path):
+    from baseboostdepth_tpu.cli.infer import main
+
+    root, cfg_path, ckpt = saved_checkpoint
+    rng = np.random.default_rng(0)
+    img = tmp_path / "img.jpg"
+    Image.fromarray(rng.integers(0, 255, (48, 96, 3), dtype=np.uint8)).save(img)
+
+    out = tmp_path / "out"
+    main(["--config", cfg_path, "--checkpoint", ckpt,
+          "--image_path", str(img), "--out_dir", str(out)])
+    assert (out / "img_disp.jpeg").exists()
+    disp = np.load(out / "img_disp.npy")
+    assert disp.shape == (H, W)
+
+
+def test_evaluate_depth_ext_disp(saved_checkpoint, tmp_path, capsys):
+    from baseboostdepth_tpu.cli.evaluate_depth import main
+
+    root, cfg_path, ckpt = saved_checkpoint
+    # synthetic gt + matching disparities
+    splits = tmp_path / "splits" / "eigen"
+    splits.mkdir(parents=True)
+    n = 3
+    yy = np.linspace(2, 50, 40)[:, None] * np.ones((1, 120))
+    gt = np.empty(n, dtype=object)
+    for i in range(n):
+        gt[i] = yy.astype(np.float32)
+    np.savez_compressed(splits / "gt_depths.npz", data=gt)
+    disps = (1.0 / yy[None].repeat(n, 0) * 2.0).astype(np.float32)
+    dp = tmp_path / "disps.npy"
+    np.save(dp, disps)
+
+    cfg = Config.load(cfg_path)
+    cfg.data.splits_dir = str(tmp_path / "splits")
+    cfg2 = tmp_path / "cfg2.json"
+    cfg.save(str(cfg2))
+
+    main(["--config", str(cfg2), "--checkpoint", ckpt,
+          "--split", "eigen", "--ext_disp_to_eval", str(dp)])
+    outp = capsys.readouterr().out
+    assert "abs_rel" in outp
