@@ -397,7 +397,8 @@ class HRDecoder(nn.Module):
             else:
                 cat = jnp.concatenate([upsample2x_nearest(high)] + lows, axis=-1)
                 if col != 1:
-                    cat = nn.Conv(ncd[row + 1] * 2, (1, 1), dtype=self.dtype, name=f"X_{index}_down")(cat)
+                    # reference Conv1x1 is bias-free (networksvit/hr_layers.py:173)
+                    cat = nn.Conv(ncd[row + 1] * 2, (1, 1), use_bias=False, dtype=self.dtype, name=f"X_{index}_down")(cat)
                 X[index] = ConvBlock(ncd[row + 1], dtype=self.dtype, name=f"X_{index}_conv1")(cat)
 
         x = conv0(0, 4, X["04"])

@@ -320,3 +320,64 @@ def mpvit_torch_to_flax(
 
         conv_bn(f"stage{s}_aggregate", f"mhca_stages.{s}.aggregate")
     return params, stats
+
+
+def monovit_decoder_torch_to_flax(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference MonoViT depth.pth (networksvit/hr_decoder.py ModuleDict
+    'convs.*' keys) -> our models.monovit.HRDecoder params."""
+    params: Dict[str, Any] = {}
+
+    def conv(src):
+        out = {"kernel": _conv_w(sd[src + ".weight"])}
+        if src + ".bias" in sd:
+            out["bias"] = sd[src + ".bias"]
+        return out
+
+    def se_fc(src):
+        return {
+            "fc1": {"kernel": sd[src + ".fc.0.weight"].T},
+            "fc2": {"kernel": sd[src + ".fc.2.weight"].T},
+        }
+
+    for i in (1, 2, 3, 4):
+        src = f"convs.f{i}"
+        params[f"f{i}"] = {
+            "ca": se_fc(src + ".ca"),
+            "conv_se": conv(src + ".conv_se"),
+        }
+
+    # Conv_0 blocks (keyed by torch (i, j) source position)
+    for key in list(sd):
+        if ".conv.conv.weight" in key and "_Conv_0" in key:
+            # convs.X_{i}{j}_Conv_0.conv.conv.weight
+            tag = key.split(".")[1]  # X_{i}{j}_Conv_0
+            i, j = tag[2], tag[3]
+            params[f"X_{i}{j}_conv0"] = {"conv": {"conv": conv(f"convs.{tag}.conv.conv")}}
+
+    # Conv_1 blocks: torch keys them by the SOURCE (row+1, col-1); our names
+    # use the produced lattice index -- except X_04's own second conv.
+    # torch X_{r}{c}_Conv_1 (r>=1) produced lattice node X_{r-1}{c+1}.
+    for key in list(sd):
+        if ".conv.conv.weight" in key and "_Conv_1" in key:
+            tag = key.split(".")[1]
+            r, c = int(tag[2]), int(tag[3])
+            if (r, c) == (0, 4):
+                dst = "X_04_conv1"
+            else:
+                dst = f"X_{r - 1}{c + 1}_conv1"
+            params[dst] = {"conv": {"conv": conv(f"convs.{tag}.conv.conv")}}
+
+    for index in ("31", "22", "13", "04"):
+        src = f"convs.X_{index}_attention"
+        params[f"X_{index}_att"] = {
+            **se_fc(src),
+            "conv_se": conv(src + ".conv_se"),
+        }
+    for index in ("02", "12", "03", "13", "04"):
+        key = f"convs.X_{index}_downsample.conv.weight"
+        if key in sd:
+            params[f"X_{index}_down"] = {"kernel": _conv_w(sd[key])}
+
+    for i in range(4):
+        params[f"dispconv{i}"] = {"conv": conv(f"convs.dispconv{i}.conv")}
+    return params
