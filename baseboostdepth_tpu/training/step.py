@@ -316,10 +316,10 @@ def loss_forward(
     warp_fn = resolve_warp(st.warp_impl)
     use_packed = is_u8 and warp_fn is not bilinear_sample
 
-    def warp_all(depth_hw, Ts, src_u8, src_f):
-        """depth [B,H,W], Ts [B,S,4,4], src_* [B,S,H,W,3] -> warped
-        [B,S,H,W,3]. On TPU with uint8 sources the packed Pallas kernel
-        fetches all three channels per gather."""
+    def warp_all(depth_hw, Ts):
+        """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slots gather
+        their own source image). On TPU with uint8 sources the packed
+        Pallas kernel fetches all three channels per gather."""
         S = Ts.shape[1]
         depth_r = jnp.broadcast_to(depth_hw[:, None], (B, S, H, W)).reshape(B * S, H, W)
         K_r = jnp.repeat(K, S, axis=0)
@@ -327,10 +327,10 @@ def loss_forward(
         grid = geometry.warp_grid(depth_r, K_r, iK_r, Ts.reshape(B * S, 4, 4))
         if use_packed:
             return bilinear_sample_pallas_u8(
-                src_u8.reshape(B * S, H, W, 3), grid
+                sources_raw[:, :S].reshape(B * S, H, W, 3), grid
             ).reshape(B, S, H, W, 3)
         return warp_fn(
-            src_f.reshape(B * S, H, W, 3), grid
+            sources[:, :S].reshape(B * S, H, W, 3), grid
         ).reshape(B, S, H, W, 3)
 
     total = 0.0
@@ -343,23 +343,12 @@ def loss_forward(
         else:
             _, depth = geometry.disp_to_depth(disp_full[..., 0], st.min_depth, st.max_depth)
 
-        S7 = T_slots.shape[1]
-        if T_err is not None:
-            # one kernel invocation for main + error warps: longer grids
-            # pipeline better than two back-to-back pallas calls. Error
-            # warps reuse the temporal-slot sources (never stereo).
-            St = T_err.shape[1]
-            T_cat = jnp.concatenate([T_slots, T_err], axis=1)
-            su = jnp.concatenate([sources_raw, sources_raw[:, :St]], axis=1)
-            sf = jnp.concatenate([sources, sources[:, :St]], axis=1)
-            both = warp_all(depth, T_cat, su, sf)
-            warped, warped_e = both[:, :S7], both[:, S7:]
-        else:
-            warped = warp_all(depth, T_slots, sources_raw, sources)
+        warped = warp_all(depth, T_slots)
         warp_l = losses.slot_losses(target, warped, slot_valid, use_ssim=st.use_ssim)
 
         err_l = None
         if T_err is not None:
+            warped_e = warp_all(depth, T_err)
             err_l = losses.slot_losses(
                 target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim
             )
