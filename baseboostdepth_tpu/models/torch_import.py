@@ -381,3 +381,29 @@ def monovit_decoder_torch_to_flax(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     for i in range(4):
         params[f"dispconv{i}"] = {"conv": conv(f"convs.dispconv{i}.conv")}
     return params
+
+
+def import_reference_monovit(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference MonoViT weights_* folder (encoder.pth = MPViT,
+    depth.pth = HR decoder, pose_encoder.pth/pose.pth = ResNet-18 pose pair)
+    into our {'depth','pose'} params/stats."""
+    import os
+
+    enc_p, enc_s = mpvit_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "encoder.pth"))
+    )
+    dec_p = monovit_decoder_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "depth.pth"))
+    )
+    pe_p, pe_s = resnet_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "pose_encoder.pth")), prefix="encoder."
+    )
+    pd_p = pose_decoder_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "pose.pth"))
+    )
+    params = {
+        "depth": {"encoder": enc_p, "decoder": dec_p},
+        "pose": {"encoder": pe_p, "decoder": pd_p},
+    }
+    stats = {"depth": {"encoder": enc_s}, "pose": {"encoder": pe_s}}
+    return params, stats

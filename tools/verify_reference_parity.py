@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--kt_path", required=True)
     ap.add_argument("--splits_dir", default="splits")
     ap.add_argument("--split", default="eigen")
+    ap.add_argument("--zoo", default="md2", choices=["md2", "monovit"])
     ap.add_argument("--num_layers", type=int, default=18)
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--width", type=int, default=640)
@@ -36,7 +37,10 @@ def main():
 
     from baseboostdepth_tpu.config import Config
     from baseboostdepth_tpu.evaluation.depth import evaluate_kitti, print_metrics
-    from baseboostdepth_tpu.models.torch_import import import_reference_md2
+    from baseboostdepth_tpu.models.torch_import import (
+        import_reference_md2,
+        import_reference_monovit,
+    )
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state
     from baseboostdepth_tpu.utils.jax_setup import setup_jax
@@ -48,17 +52,19 @@ def main():
     cfg.data.splits_dir = args.splits_dir
     cfg.data.height = args.height
     cfg.data.width = args.width
+    cfg.model.zoo = args.zoo
     cfg.model.num_layers = args.num_layers
     cfg.model.dtype = "float32"  # bit-parity evaluation
 
     st = StepStatic(
-        zoo="md2", num_layers=args.num_layers,
+        zoo=args.zoo, num_layers=args.num_layers,
         height=args.height, width=args.width, dtype="float32",
     )
     state = init_state(st, make_optimizer(), jax.random.PRNGKey(0))
 
     print(f"importing reference checkpoint from {args.weights}")
-    params, stats = import_reference_md2(args.weights)
+    importer = import_reference_monovit if args.zoo == "monovit" else import_reference_md2
+    params, stats = importer(args.weights)
     from baseboostdepth_tpu.models.torch_import import _merge
 
     merged_params = _merge(state.params, params)
