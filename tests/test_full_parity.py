@@ -1,0 +1,218 @@
+"""Full-network parity: a torch re-creation of the reference Monodepth2
+architecture (networks/resnet_encoder.py + depth_decoder.py +
+pose_decoder.py semantics) with random weights, exported in torch layout,
+imported through models.torch_import, must produce the same disparity maps
+and pose outputs as our flax modules to float tolerance.
+
+This is the end-to-end evidence that (architecture x weight-import x
+numerics) all line up -- the same path published reference checkpoints
+take.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from baseboostdepth_tpu.models import MD2DepthNet, build_pose_net
+from baseboostdepth_tpu.models.torch_import import (
+    depth_decoder_torch_to_flax,
+    pose_decoder_torch_to_flax,
+    resnet_torch_to_flax,
+)
+
+
+# ---------------------------------------------------------------- torch net
+class TBasicBlock(nn.Module):
+    def __init__(self, cin, cout, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(cout)
+        self.conv2 = nn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(cout)
+        self.downsample = None
+        if stride != 1 or cin != cout:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout)
+            )
+
+    def forward(self, x):
+        idn = x if self.downsample is None else self.downsample(x)
+        y = F.relu(self.bn1(self.conv1(x)))
+        y = self.bn2(self.conv2(y))
+        return F.relu(y + idn)
+
+
+class TResNet18(nn.Module):
+    def __init__(self, in_ch=3):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_ch, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        widths = [64, 128, 256, 512]
+        cin = 64
+        for li, w in enumerate(widths, start=1):
+            blocks = nn.Sequential(
+                TBasicBlock(cin, w, stride=1 if li == 1 else 2),
+                TBasicBlock(w, w),
+            )
+            setattr(self, f"layer{li}", blocks)
+            cin = w
+
+    def forward(self, x):
+        x = (x - 0.45) / 0.225
+        f0 = F.relu(self.bn1(self.conv1(x)))
+        x = F.max_pool2d(f0, 3, 2, 1)
+        feats = [f0]
+        for li in range(1, 5):
+            x = getattr(self, f"layer{li}")(x)
+            feats.append(x)
+        return feats
+
+
+class TConvBlock(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv = nn.Sequential()
+        self.conv.conv = nn.Conv2d(cin, cout, 3)
+
+    def forward(self, x):
+        return F.elu(self.conv.conv(F.pad(x, (1, 1, 1, 1), mode="reflect")))
+
+
+class TDepthDecoder(nn.Module):
+    def __init__(self, enc_ch=(64, 64, 128, 256, 512)):
+        super().__init__()
+        dec = [16, 32, 64, 128, 256]
+        mods = []
+        for i in range(4, -1, -1):
+            cin = enc_ch[-1] if i == 4 else dec[i + 1]
+            mods.append(TConvBlock(cin, dec[i]))
+            cin1 = dec[i] + (enc_ch[i - 1] if i > 0 else 0)
+            mods.append(TConvBlock(cin1, dec[i]))
+        for s in range(4):
+            m = nn.Module()
+            m.conv = nn.Conv2d(dec[s], 1, 3)
+            mods.append(m)
+        self.decoder = nn.ModuleList(mods)
+
+    def forward(self, feats):
+        dec_out = {}
+        x = feats[-1]
+        idx = 0
+        for i in range(4, -1, -1):
+            x = self.decoder[idx](x)
+            idx += 1
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if i > 0:
+                x = torch.cat([x, feats[i - 1]], 1)
+            x = self.decoder[idx](x)
+            idx += 1
+            if i < 4:
+                pass
+        # second pass to collect disps in reference order (simpler: rerun)
+        outs = []
+        x = feats[-1]
+        idx = 0
+        xs = {}
+        for i in range(4, -1, -1):
+            x = self.decoder[idx](x)
+            idx += 1
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            if i > 0:
+                x = torch.cat([x, feats[i - 1]], 1)
+            x = self.decoder[idx](x)
+            idx += 1
+            xs[i] = x
+        for s in range(4):
+            head = self.decoder[10 + s]
+            d = head.conv(F.pad(xs[s], (1, 1, 1, 1), mode="reflect"))
+            outs.append(torch.sigmoid(d))
+        return outs
+
+
+class TPoseDecoder(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.net = nn.ModuleList([
+            nn.Conv2d(512, 256, 1),
+            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(256, 256, 3, 1, 1),
+            nn.Conv2d(256, 12, 1),
+        ])
+
+    def forward(self, f):
+        x = F.relu(self.net[0](f))
+        x = F.relu(self.net[1](x))
+        x = F.relu(self.net[2](x))
+        x = self.net[3](x)
+        x = x.mean(3).mean(2)
+        x = 0.01 * x.view(-1, 2, 1, 6)
+        return x[..., :3], x[..., 3:]
+
+
+@pytest.fixture(scope="module")
+def torch_md2():
+    torch.manual_seed(0)
+    enc = TResNet18().eval()
+    dec = TDepthDecoder().eval()
+    return enc, dec
+
+
+class TestFullForwardParity:
+    def test_depth_network(self, torch_md2):
+        enc, dec = torch_md2
+        H, W = 64, 128
+        rng = np.random.default_rng(0)
+        x = rng.random((2, H, W, 3)).astype(np.float32)
+
+        with torch.no_grad():
+            feats = enc(torch.from_numpy(x).permute(0, 3, 1, 2))
+            t_disps = [d.permute(0, 2, 3, 1).numpy() for d in dec(feats)]
+
+        # export torch state dicts in the reference layout and import
+        enc_sd = {k: v.numpy() for k, v in enc.state_dict().items()}
+        # torch Sequential downsample -> 'downsample.0', matches importer
+        p_enc, s_enc = resnet_torch_to_flax(enc_sd)
+        dec_sd = {k: v.numpy() for k, v in dec.state_dict().items()}
+        p_dec = depth_decoder_torch_to_flax(dec_sd)
+
+        net = MD2DepthNet(num_layers=18)
+        variables = {
+            "params": {"encoder": jax.tree.map(jnp.asarray, p_enc), "decoder": jax.tree.map(jnp.asarray, p_dec)},
+            "batch_stats": {"encoder": jax.tree.map(jnp.asarray, s_enc)},
+        }
+        disps = net.apply(variables, jnp.asarray(x), train=False)
+        for s in range(4):
+            np.testing.assert_allclose(
+                np.asarray(disps[s]), t_disps[s], atol=2e-4,
+                err_msg=f"scale {s}",
+            )
+
+    def test_pose_network(self):
+        torch.manual_seed(1)
+        enc = TResNet18(in_ch=6).eval()
+        head = TPoseDecoder().eval()
+        H, W = 64, 128
+        rng = np.random.default_rng(1)
+        pair = rng.random((3, H, W, 6)).astype(np.float32)
+
+        with torch.no_grad():
+            feats = enc(torch.from_numpy(pair).permute(0, 3, 1, 2))
+            taa, tt = head(feats[-1])
+            # reference layout [B, 2, 1, 6]; training uses frame 0
+            taa, tt = taa[:, 0, 0].numpy(), tt[:, 0, 0].numpy()
+
+        p_enc, s_enc = resnet_torch_to_flax({k: v.numpy() for k, v in enc.state_dict().items()})
+        p_dec = pose_decoder_torch_to_flax({k: v.numpy() for k, v in head.state_dict().items()})
+
+        net = build_pose_net()
+        variables = {
+            "params": {"encoder": jax.tree.map(jnp.asarray, p_enc), "decoder": jax.tree.map(jnp.asarray, p_dec)},
+            "batch_stats": {"encoder": jax.tree.map(jnp.asarray, s_enc)},
+        }
+        aa, t = net.apply(variables, jnp.asarray(pair), train=False)
+        np.testing.assert_allclose(np.asarray(aa), taa, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(t), tt, atol=1e-5)
