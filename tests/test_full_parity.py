@@ -99,20 +99,6 @@ class TDepthDecoder(nn.Module):
         self.decoder = nn.ModuleList(mods)
 
     def forward(self, feats):
-        dec_out = {}
-        x = feats[-1]
-        idx = 0
-        for i in range(4, -1, -1):
-            x = self.decoder[idx](x)
-            idx += 1
-            x = F.interpolate(x, scale_factor=2, mode="nearest")
-            if i > 0:
-                x = torch.cat([x, feats[i - 1]], 1)
-            x = self.decoder[idx](x)
-            idx += 1
-            if i < 4:
-                pass
-        # second pass to collect disps in reference order (simpler: rerun)
         outs = []
         x = feats[-1]
         idx = 0
