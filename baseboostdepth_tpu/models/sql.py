@@ -86,13 +86,13 @@ class TransformerLayer(nn.Module):
             name="attn",
         )(x, x)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + att)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x + att)
         y = nn.Dense(self.ff, dtype=self.dtype, name="ff1")(x)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         y = nn.Dense(self.dim, dtype=self.dtype, name="ff2")(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x + y)
 
 
 class SQLHead(nn.Module):

@@ -202,3 +202,118 @@ class TestFullForwardParity:
         aa, t = net.apply(variables, jnp.asarray(pair), train=False)
         np.testing.assert_allclose(np.asarray(aa), taa, atol=1e-5)
         np.testing.assert_allclose(np.asarray(t), tt, atol=1e-5)
+
+
+# ------------------------------------------------------------------ CADepth
+class TSPM(nn.Module):
+    def forward(self, x):
+        b, c, h, w = x.size()
+        q = x.view(b, c, -1)
+        energy = torch.bmm(q, q.permute(0, 2, 1))
+        energy_new = torch.max(energy, -1, keepdim=True)[0].expand_as(energy) - energy
+        attn = torch.softmax(energy_new, dim=-1)
+        out = torch.bmm(attn, q).view(b, c, h, w)
+        return out + x
+
+
+class TDEM(nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = nn.Conv2d(c, c, 3)
+        self.bn = nn.BatchNorm2d(c)
+        self.g1 = nn.Conv2d(c, c, 1)
+        self.g2 = nn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        y = F.relu(self.bn(self.conv(F.pad(x, (1, 1, 1, 1), mode="reflect"))))
+        g = torch.sigmoid(self.g2(F.relu(self.g1(F.adaptive_avg_pool2d(y, 1)))))
+        return y + y * g
+
+
+class TestCADepthModuleParity:
+    def test_spm(self):
+        from baseboostdepth_tpu.models.cadepth import SPM
+
+        rng = np.random.default_rng(2)
+        x = rng.random((2, 4, 6, 16)).astype(np.float32)
+        ours = np.asarray(SPM().apply({}, jnp.asarray(x)))
+        with torch.no_grad():
+            ref = TSPM()(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_dem(self):
+        from baseboostdepth_tpu.models.cadepth import DEM
+
+        rng = np.random.default_rng(3)
+        c = 8
+        x = rng.random((2, 6, 10, c)).astype(np.float32)
+        t = TDEM(c).eval()
+        with torch.no_grad():
+            ref = t(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+
+        sd = {k: v.numpy() for k, v in t.state_dict().items()}
+
+        def cw(w):
+            return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+        params = {
+            "conv": {"kernel": cw(sd["conv.weight"]), "bias": jnp.asarray(sd["conv.bias"])},
+            "bn": {"scale": jnp.asarray(sd["bn.weight"]), "bias": jnp.asarray(sd["bn.bias"])},
+            "gate1": {"kernel": cw(sd["g1.weight"]), "bias": jnp.asarray(sd["g1.bias"])},
+            "gate2": {"kernel": cw(sd["g2.weight"]), "bias": jnp.asarray(sd["g2.bias"])},
+        }
+        stats = {"bn": {"mean": jnp.asarray(sd["bn.running_mean"]), "var": jnp.asarray(sd["bn.running_var"])}}
+        ours = np.asarray(
+            DEM(c).apply({"params": params, "batch_stats": stats}, jnp.asarray(x), False)
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+# ------------------------------------------------------------------ SQL head
+class TestSQLTransformerParity:
+    def test_post_ln_layer_matches_torch(self):
+        """Our TransformerLayer vs torch nn.TransformerEncoderLayer
+        (post-LN, relu, the reference's SQL configuration) with transplanted
+        weights."""
+        from baseboostdepth_tpu.models.sql import TransformerLayer
+
+        E, heads, ff = 32, 4, 512
+        tl = nn.TransformerEncoderLayer(E, heads, dim_feedforward=ff, dropout=0.0,
+                                        batch_first=True).eval()
+        rng = np.random.default_rng(4)
+        x = rng.random((2, 10, E)).astype(np.float32)
+        with torch.no_grad():
+            ref = tl(torch.from_numpy(x)).numpy()
+
+        sd = {k: v.numpy() for k, v in tl.state_dict().items()}
+        w_in = sd["self_attn.in_proj_weight"]  # [3E, E]
+        b_in = sd["self_attn.in_proj_bias"]
+        wq, wk, wv = w_in[:E], w_in[E:2*E], w_in[2*E:]
+        bq, bk, bv = b_in[:E], b_in[E:2*E], b_in[2*E:]
+        hd = E // heads
+
+        def proj(w, b):  # torch [E_out, E_in] -> flax MHA kernel [E_in, heads, hd]
+            return {
+                "kernel": jnp.asarray(w.T.reshape(E, heads, hd)),
+                "bias": jnp.asarray(b.reshape(heads, hd)),
+            }
+
+        params = {
+            "attn": {
+                "query": proj(wq, bq),
+                "key": proj(wk, bk),
+                "value": proj(wv, bv),
+                "out": {
+                    "kernel": jnp.asarray(sd["self_attn.out_proj.weight"].T.reshape(heads, hd, E)),
+                    "bias": jnp.asarray(sd["self_attn.out_proj.bias"]),
+                },
+            },
+            "norm1": {"scale": jnp.asarray(sd["norm1.weight"]), "bias": jnp.asarray(sd["norm1.bias"])},
+            "norm2": {"scale": jnp.asarray(sd["norm2.weight"]), "bias": jnp.asarray(sd["norm2.bias"])},
+            "ff1": {"kernel": jnp.asarray(sd["linear1.weight"].T), "bias": jnp.asarray(sd["linear1.bias"])},
+            "ff2": {"kernel": jnp.asarray(sd["linear2.weight"].T), "bias": jnp.asarray(sd["linear2.bias"])},
+        }
+        ours = np.asarray(
+            TransformerLayer(E, heads, ff).apply({"params": params}, jnp.asarray(x), False)
+        )
+        np.testing.assert_allclose(ours, ref, atol=2e-4)
