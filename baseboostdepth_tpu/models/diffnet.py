@@ -36,25 +36,7 @@ HRNET18_STAGES = dict(
 )
 
 
-def _resize_bilinear_ac(x, h, w):
-    """Bilinear resize align_corners=True (torch F.interpolate in the HRNet
-    fuse layers, test_hr_encoder.py:276-281). For the exact 2x upsampling
-    used here jax.image.resize's half-pixel variant differs sub-pixel-ly;
-    we implement true align_corners via explicit gather weights."""
-    B, H, W, C = x.shape
-    if (H, W) == (h, w):
-        return x
-    ys = jnp.linspace(0.0, H - 1.0, h)
-    xs = jnp.linspace(0.0, W - 1.0, w)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
-    y1 = jnp.minimum(y0 + 1, H - 1)
-    wy = (ys - y0)[None, :, None, None]
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
-    x1 = jnp.minimum(x0 + 1, W - 1)
-    wx = (xs - x0)[None, None, :, None]
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+from baseboostdepth_tpu.ops.resize import resize_bilinear_align_corners as _resize_bilinear_ac
 
 
 class ConvBNRelu(nn.Module):

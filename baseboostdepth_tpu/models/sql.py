@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from baseboostdepth_tpu.models.resnet import ResnetEncoder
+from baseboostdepth_tpu.ops.resize import resize_bilinear_align_corners
 
 
 class UpSampleBN(nn.Module):
@@ -35,13 +36,8 @@ class UpSampleBN(nn.Module):
     @nn.compact
     def __call__(self, x, skip, train: bool):
         B, Hs, Ws, _ = skip.shape
-        # align_corners=True bilinear (torch F.interpolate in UpSampleBN)
-        import jax
-
-        x = jax.image.resize(x, (B, Hs, Ws, x.shape[-1]), method="linear")
-        # NOTE: jax.image.resize uses half-pixel (align_corners=False)
-        # convention; for the exact 2x case inside this decoder the
-        # difference is sub-pixel and behaviorally negligible for training.
+        # align_corners=True bilinear, as in the torch UpSampleBN
+        x = resize_bilinear_align_corners(x, Hs, Ws)
         x = jnp.concatenate([x, skip], axis=-1)
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name=f"conv{i}")(x)

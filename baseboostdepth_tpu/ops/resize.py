@@ -54,3 +54,24 @@ def lanczos_pyramid(x: jax.Array, num_scales: int = 4):
         prev = out[-1]
         out.append(resize_lanczos(prev, prev.shape[1] // 2, prev.shape[2] // 2))
     return out
+
+
+def resize_bilinear_align_corners(x: jax.Array, height: int, width: int) -> jax.Array:
+    """Bilinear resize with align_corners=True (torch F.interpolate
+    align_corners=True): endpoints map to endpoints. Used by the SQLdepth
+    BN decoder (networksSQL/resnet_encoder.py:108) and the HRNet fuse
+    layers (networksDIFF/test_hr_encoder.py:276-281)."""
+    B, H, W, C = x.shape
+    if (H, W) == (height, width):
+        return x
+    ys = jnp.linspace(0.0, H - 1.0, height)
+    xs = jnp.linspace(0.0, W - 1.0, width)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    wy = (ys - y0)[None, :, None, None]
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    wx = (xs - x0)[None, None, :, None]
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy

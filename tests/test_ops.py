@@ -190,3 +190,16 @@ class TestLanczosPyramid:
             assert err.mean() < 0.01 and np.percentile(err, 99) < 0.04, (
                 s, err.mean(), err.max()
             )
+
+
+def test_bilinear_align_corners_matches_torch():
+    from baseboostdepth_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.RandomState(13)
+    x = rng.rand(2, 7, 11, 3).astype(np.float32)
+    ours = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), 20, 30))
+    ref = F.interpolate(
+        torch.from_numpy(x).permute(0, 3, 1, 2), size=(20, 30),
+        mode="bilinear", align_corners=True,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
