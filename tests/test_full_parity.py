@@ -317,3 +317,87 @@ class TestSQLTransformerParity:
             TransformerLayer(E, heads, ff).apply({"params": params}, jnp.asarray(x), False)
         )
         np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+# ------------------------------------------------------------------ HRNet
+class THRFuse2(nn.Module):
+    """Two-branch HighResolutionModule (test_hr_encoder.py:139-286):
+    4 BasicBlocks per branch + SUM fuse (1x1+BN+align_corners-bilinear up,
+    3x3 stride-2 +BN down)."""
+
+    def __init__(self, c0=8, c1=16):
+        super().__init__()
+        self.b0 = nn.Sequential(*[TBasicBlock(c0, c0) for _ in range(4)])
+        self.b1 = nn.Sequential(*[TBasicBlock(c1, c1) for _ in range(4)])
+        self.up = nn.Sequential(nn.Conv2d(c1, c0, 1, bias=False), nn.BatchNorm2d(c0))
+        self.down = nn.Sequential(nn.Conv2d(c0, c1, 3, 2, 1, bias=False), nn.BatchNorm2d(c1))
+
+    def forward(self, x0, x1):
+        y0 = self.b0(x0)
+        y1 = self.b1(x1)
+        f0 = F.relu(y0 + F.interpolate(self.up(y1), size=y0.shape[-2:],
+                                       mode="bilinear", align_corners=True))
+        f1 = F.relu(y1 + self.down(y0))
+        return f0, f1
+
+
+class TestHRModuleParity:
+    def test_two_branch_fuse(self):
+        from baseboostdepth_tpu.models.diffnet import HRModule
+
+        t = THRFuse2().eval()
+        rng = np.random.default_rng(5)
+        x0 = rng.random((1, 8, 16, 8)).astype(np.float32)
+        x1 = rng.random((1, 4, 8, 16)).astype(np.float32)
+        with torch.no_grad():
+            r0, r1 = t(torch.from_numpy(x0).permute(0, 3, 1, 2),
+                       torch.from_numpy(x1).permute(0, 3, 1, 2))
+            r0 = r0.permute(0, 2, 3, 1).numpy()
+            r1 = r1.permute(0, 2, 3, 1).numpy()
+
+        sd = {k: v.numpy() for k, v in t.state_dict().items()}
+
+        def cw(w):
+            return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+        def block(src):
+            p = {
+                "conv1": {"conv": {"kernel": cw(sd[src + ".conv1.weight"])}},
+                "conv2": {"conv": {"kernel": cw(sd[src + ".conv2.weight"])}},
+            }
+            s = {}
+            for bn in ("bn1", "bn2"):
+                p[bn] = {"bn": {"scale": jnp.asarray(sd[f"{src}.{bn}.weight"]),
+                                 "bias": jnp.asarray(sd[f"{src}.{bn}.bias"])}}
+                s[bn] = {"bn": {"mean": jnp.asarray(sd[f"{src}.{bn}.running_mean"]),
+                                 "var": jnp.asarray(sd[f"{src}.{bn}.running_var"])}}
+            return p, s
+
+        params, stats = {}, {}
+        for bi, src in enumerate(["b0", "b1"]):
+            for k in range(4):
+                p, s = block(f"{src}.{k}")
+                params[f"branch{bi}_block{k}"] = p
+                stats[f"branch{bi}_block{k}"] = s
+        params["fuse0_1_conv"] = {"conv": {"kernel": cw(sd["up.0.weight"])}}
+        params["fuse0_1_bn"] = {"bn": {"scale": jnp.asarray(sd["up.1.weight"]),
+                                        "bias": jnp.asarray(sd["up.1.bias"])}}
+        stats["fuse0_1_bn"] = {"bn": {"mean": jnp.asarray(sd["up.1.running_mean"]),
+                                       "var": jnp.asarray(sd["up.1.running_var"])}}
+        params["fuse1_0_down0"] = {
+            "conv": {"conv": {"kernel": cw(sd["down.0.weight"])}},
+            "bn": {"bn": {"scale": jnp.asarray(sd["down.1.weight"]),
+                           "bias": jnp.asarray(sd["down.1.bias"])}},
+        }
+        stats["fuse1_0_down0"] = {
+            "bn": {"bn": {"mean": jnp.asarray(sd["down.1.running_mean"]),
+                           "var": jnp.asarray(sd["down.1.running_var"])}},
+        }
+
+        mod = HRModule(channels=(8, 16))
+        o0, o1 = mod.apply(
+            {"params": params, "batch_stats": stats},
+            [jnp.asarray(x0), jnp.asarray(x1)], False,
+        )
+        np.testing.assert_allclose(np.asarray(o0), r0, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(o1), r1, atol=2e-4)
