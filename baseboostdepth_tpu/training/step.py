@@ -247,6 +247,7 @@ def loss_forward(
     noise_key: jax.Array,
     st: StepStatic,
     train: bool = True,
+    mesh=None,
 ):
     """Returns (total_loss, (metrics, new_stats))."""
     depth_net, pose_net = build_networks(st)
@@ -316,6 +317,20 @@ def loss_forward(
     warp_fn = resolve_warp(st.warp_impl)
     use_packed = is_u8 and warp_fn is not bilinear_sample
 
+    packed_warp = bilinear_sample_pallas_u8
+    if use_packed and mesh is not None and mesh.devices.size > 1:
+        # GSPMD replicates custom calls it cannot partition; shard_map pins
+        # the Pallas kernel to per-device batch shards on the data axis.
+        from jax.sharding import PartitionSpec as _P
+
+        packed_warp = jax.shard_map(
+            bilinear_sample_pallas_u8,
+            mesh=mesh,
+            in_specs=(_P("data"), _P("data")),
+            out_specs=_P("data"),
+            check_vma=False,
+        )
+
     def warp_all(depth_hw, Ts):
         """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slots gather
         their own source image). On TPU with uint8 sources the packed
@@ -326,7 +341,7 @@ def loss_forward(
         iK_r = jnp.repeat(inv_K, S, axis=0)
         grid = geometry.warp_grid(depth_r, K_r, iK_r, Ts.reshape(B * S, 4, 4))
         if use_packed:
-            return bilinear_sample_pallas_u8(
+            return packed_warp(
                 sources_raw[:, :S].reshape(B * S, H, W, 3), grid
             ).reshape(B, S, H, W, 3)
         return warp_fn(
@@ -377,14 +392,17 @@ def loss_forward(
 # --------------------------------------------------------------------------
 # The jitted update
 # --------------------------------------------------------------------------
-def make_train_step(st: StepStatic, optimizer: optax.GradientTransformation):
+def make_train_step(
+    st: StepStatic, optimizer: optax.GradientTransformation, mesh=None
+):
     """Build train_step(state, batch, rng) -> (state, metrics), jitted with
-    state donation."""
+    state donation. Pass the data mesh so the Pallas warp shards with the
+    batch instead of being replicated by GSPMD."""
 
     def _step(state: TrainState, batch, rng):
         grad_fn = jax.value_and_grad(loss_forward, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(
-            state.params, state.stats, batch, rng, st, True
+            state.params, state.stats, batch, rng, st, True, mesh
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

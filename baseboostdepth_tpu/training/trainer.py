@@ -188,7 +188,8 @@ class Trainer:
 
     def _step_fn(self, st: StepStatic):
         if st not in self._step_fns:
-            self._step_fns[st] = make_train_step(st, self.optimizer)
+            mesh = self.mesh if self.mesh.devices.size > 1 else None
+            self._step_fns[st] = make_train_step(st, self.optimizer, mesh=mesh)
         return self._step_fns[st]
 
     # ------------------------------------------------------------------
