@@ -302,3 +302,25 @@ def test_no_ssim_flag():
     batch = jax.tree.map(jnp.asarray, _toy_batch(np.random.default_rng(8), 2, 1))
     loss, _ = loss_forward(state.params, state.stats, batch, jax.random.PRNGKey(1), st, True)
     assert np.isfinite(float(loss))
+
+
+def test_state_carries_across_curriculum_stages():
+    """The epoch 9 -> 10 transition changes F, scales, and the method gates
+    (trainer.py:207-230); the SAME TrainState must train under both compiled
+    specializations (params/opt_state are stage-independent because the
+    decoder always owns all four disp heads)."""
+    opt = optax.adam(1e-4)
+    early = _static(2, incremental=False, scales=(0, 1, 2, 3))
+    late = _static(3, incremental=True, scales=(0,))
+    state = init_state(early, opt, jax.random.PRNGKey(0))
+
+    step_early = make_train_step(early, opt)
+    batch_e = jax.tree.map(jnp.asarray, _toy_batch(np.random.default_rng(1), 2, 2))
+    state, m_e = step_early(state, batch_e, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m_e["loss"]))
+
+    step_late = make_train_step(late, opt)
+    batch_l = jax.tree.map(jnp.asarray, _toy_batch(np.random.default_rng(2), 2, 3))
+    state, m_l = step_late(state, batch_l, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m_l["loss"]))
+    assert int(np.asarray(state.step)) == 2
