@@ -10,10 +10,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def data_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D 'data' mesh over the first num_devices local devices."""
+    """1-D 'data' mesh over the first num_devices local devices.
+
+    Raises if fewer devices exist than requested: silently shrinking would
+    make a "passing" multichip dryrun meaningless (it would test a 1-device
+    mesh while claiming N).
+    """
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"data_mesh: requested {num_devices} devices but only "
+                f"{len(devices)} available on platform "
+                f"{devices[0].platform if devices else '?'}"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), ("data",))
 

@@ -12,6 +12,15 @@ from baseboostdepth_tpu.ops.sampling import bilinear_sample
 from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas_u8
 
 
+def test_data_mesh_refuses_to_shrink():
+    """Requesting more devices than exist must raise, not silently build a
+    smaller mesh (a 1-device mesh passing an '8-device' dryrun tests nothing)."""
+    from baseboostdepth_tpu.parallel import data_mesh
+
+    with pytest.raises(ValueError, match="data_mesh"):
+        data_mesh(len(jax.devices()) + 1)
+
+
 @pytest.fixture(scope="module")
 def mesh():
     if len(jax.devices()) < 8:
