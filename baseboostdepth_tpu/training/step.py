@@ -42,6 +42,7 @@ from flax import struct
 
 from baseboostdepth_tpu import geometry, losses
 from baseboostdepth_tpu.data.augment import apply_flip, color_jitter
+from baseboostdepth_tpu.training.batch import num_temporal_slots
 from baseboostdepth_tpu.models import DEPTH_IS_METRIC, build_depth_net, build_pose_net
 from baseboostdepth_tpu.ops.sampling import bilinear_sample, resolve_warp
 from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas_u8
@@ -129,13 +130,16 @@ def init_state(
 def _pose_pair_table(st: StepStatic):
     """Static (left_frame_index, right_frame_index) blocks on the NF axis.
 
-    Incremental stage: [step+ g=1..F | step- g=1..F | dir+ g=2..F | dir-
-    g=2..F] (direct blocks only when partial replacement needs them; the g=1
-    direct poses equal the g=1 step poses). Direct stage: [dir+ g=1..F |
-    dir- g=1..F]. Pair orientation and the invert flag follow the reference
-    (trainer.py:349-360 step pairs, 380-384 / 396-402 direct pairs,
-    410-415 partial pairs): negative offsets feed (source, target) with
-    invert=True.
+    Incremental stage: [step+ g=1..F | step- g=1..F]. Direct stage:
+    [dir+ g=1..F | dir- g=1..F]. Pair orientation and the invert flag follow
+    the reference (trainer.py:349-360 step pairs, 380-384 / 396-402 direct
+    pairs): negative offsets feed (source, target) with invert=True.
+
+    Direct pairs for partial replacement are NOT in this static table: a
+    sample only ever consumes direct translations for its partial-eligible
+    slots (offsets +-f_max, +-(f_max-1); trainer.py:407-418), so those pairs
+    are gathered per sample by slot_offset in predict_poses -- at most
+    _n_slot_pairs(st) of them instead of the 2(F-1) static direct blocks.
     """
     F = st.F
     left, right = [], []
@@ -144,11 +148,6 @@ def _pose_pair_table(st: StepStatic):
             left.append(F + g - 1), right.append(F + g)
         for g in range(1, F + 1):  # step- : (-g, -g+1), inverted
             left.append(F - g), right.append(F - g + 1)
-        if st.partial:
-            for g in range(2, F + 1):  # dir+ : (0, g)
-                left.append(F), right.append(F + g)
-            for g in range(2, F + 1):  # dir- : (-g, 0), inverted
-                left.append(F - g), right.append(F)
     else:
         for g in range(1, F + 1):
             left.append(F), right.append(F + g)
@@ -157,13 +156,27 @@ def _pose_pair_table(st: StepStatic):
     return np.asarray(left), np.asarray(right)
 
 
-def _pose_luts(st: StepStatic, aa: jax.Array, t: jax.Array):
-    """(axisangle, translation) [B, P, 3] -> pose lookup tables.
+def _n_slot_pairs(st: StepStatic) -> int:
+    """How many per-sample direct pose pairs partial replacement needs.
 
-    Returns (lut, lut_dir): [B, 2F+1, 4, 4] with index o+F = T(0 -> o)
-    (offset 0 = identity). lut holds the primary poses (chained under
-    incremental, direct otherwise); lut_dir holds direct poses (for partial
-    replacement) or None.
+    Partial replacement can only touch slots 0..3 (offsets +-f_max,
+    +-(f_max-1)) and only where |offset| > 1 (batch.slot_table /
+    trainer.py:409). At stage F == 2 slots 2/3 hold +-1 which is never
+    eligible, so 2 pairs suffice; F >= 3 needs all 4; F < 2 never replaces.
+    """
+    if not (st.incremental and st.partial):
+        return 0
+    if st.F < 2:
+        return 0
+    n = 2 if st.F == 2 else 4
+    return min(n, num_temporal_slots(st.F, st.trimin))
+
+
+def _pose_lut(st: StepStatic, aa: jax.Array, t: jax.Array) -> jax.Array:
+    """(axisangle, translation) [B, 2F, 3] -> pose lookup table.
+
+    Returns lut [B, 2F+1, 4, 4] with index o+F = T(0 -> o) (offset 0 =
+    identity): chained long-jump poses under incremental, direct otherwise.
     """
     B = aa.shape[0]
     F = st.F
@@ -176,28 +189,10 @@ def _pose_luts(st: StepStatic, aa: jax.Array, t: jax.Array):
     if st.incremental:
         step_pos = geometry.transformation_from_parameters(aa[:, :F], t[:, :F], invert=False)
         step_neg = geometry.transformation_from_parameters(aa[:, F : 2 * F], t[:, F : 2 * F], invert=True)
-        chain_pos = geometry.compose_poses(step_pos)
-        chain_neg = geometry.compose_poses(step_neg)
-        lut = lut_from(chain_pos, chain_neg)
-        lut_dir = None
-        if st.partial:
-            k = 2 * F
-            dir_pos = geometry.transformation_from_parameters(
-                aa[:, k : k + F - 1], t[:, k : k + F - 1], invert=False
-            )
-            dir_neg = geometry.transformation_from_parameters(
-                aa[:, k + F - 1 :], t[:, k + F - 1 :], invert=True
-            )
-            # g=1 direct == g=1 step
-            dir_pos = jnp.concatenate([step_pos[:, :1], dir_pos], axis=1)
-            dir_neg = jnp.concatenate([step_neg[:, :1], dir_neg], axis=1)
-            lut_dir = lut_from(dir_pos, dir_neg)
-    else:
-        dir_pos = geometry.transformation_from_parameters(aa[:, :F], t[:, :F], invert=False)
-        dir_neg = geometry.transformation_from_parameters(aa[:, F:], t[:, F:], invert=True)
-        lut = lut_from(dir_pos, dir_neg)
-        lut_dir = None
-    return lut, lut_dir
+        return lut_from(geometry.compose_poses(step_pos), geometry.compose_poses(step_neg))
+    dir_pos = geometry.transformation_from_parameters(aa[:, :F], t[:, :F], invert=False)
+    dir_neg = geometry.transformation_from_parameters(aa[:, F:], t[:, F:], invert=True)
+    return lut_from(dir_pos, dir_neg)
 
 
 def _gather_slots(lut: jax.Array, slot_offset: jax.Array, F: int) -> jax.Array:
@@ -215,12 +210,19 @@ def slot_poses(
 ):
     """Per-slot poses from the batched pose-net outputs.
 
-    Returns (T_slot [B,6,4,4], T_err [B,6,4,4] or None). Order of
+    aa/t: [B, P, 3] where the first 2F entries are the static pair-table
+    poses (step pairs under incremental) and, when partial replacement is
+    on, the last _n_slot_pairs(st) entries are the per-sample slot-direct
+    poses for slots 0..n_par-1 (even slot index = forward pair, odd =
+    reversed pair to be inverted -- matching batch.slot_table's +-
+    interleaving).
+
+    Returns (T_slot [B,S,4,4], T_err [B,S,4,4] or None). Order of
     operations follows the reference: error poses derive from the chained
     estimate BEFORE partial replacement (trainer.py:375-377 vs 407-418).
     """
     F = st.F
-    lut, lut_dir = _pose_luts(st, aa, t)
+    lut = _pose_lut(st, aa[:, : 2 * F], t[:, : 2 * F])
     T_chain = _gather_slots(lut, slot_offset, F)
 
     T_err = None
@@ -229,12 +231,83 @@ def slot_poses(
         T_err = T_err.at[..., :3, 3].set(T_err[..., :3, 3] / st.pose_error)
 
     T_slot = T_chain
-    if st.partial and lut_dir is not None:
-        T_dir = _gather_slots(lut_dir, slot_offset, F)
-        T_repl = jnp.concatenate([T_chain[..., :, :3], T_dir[..., :, 3:]], axis=-1)
-        pm = slot_partial[:, :, None, None]
-        T_slot = jnp.where(pm, T_repl, T_chain)
+    n_par = _n_slot_pairs(st)
+    if n_par > 0:
+        B = aa.shape[0]
+        aa_d, t_d = aa[:, 2 * F :], t[:, 2 * F :]
+        # even slots hold positive offsets (pair (0, +o)), odd slots negative
+        # (pair (-o, 0), inverted) -- fixed by slot_table's interleaving
+        T_even = geometry.transformation_from_parameters(
+            aa_d[:, 0::2], t_d[:, 0::2], invert=False
+        )
+        T_odd = geometry.transformation_from_parameters(
+            aa_d[:, 1::2], t_d[:, 1::2], invert=True
+        )
+        T_dir = jnp.stack([T_even, T_odd], axis=2).reshape(B, n_par, 4, 4)
+        head = T_chain[:, :n_par]
+        T_repl = jnp.concatenate([head[..., :, :3], T_dir[..., :, 3:]], axis=-1)
+        pm = slot_partial[:, :n_par, None, None]
+        T_slot = T_chain.at[:, :n_par].set(jnp.where(pm, T_repl, head))
     return T_slot, T_err
+
+
+def predict_poses(
+    st: StepStatic,
+    pose_net,
+    pose_params,
+    pose_stats,
+    aug: jax.Array,
+    slot_offset: jax.Array,
+    slot_partial: jax.Array,
+    train: bool,
+):
+    """All per-slot poses via ONE batched pose-net call.
+
+    Stacks the static pair table (step pairs under incremental, direct
+    otherwise) with the per-sample slot-direct pairs partial replacement
+    needs -- gathered from `aug` by slot_offset, so only the <=4 direct
+    estimates a sample actually consumes are computed (the reference
+    likewise only runs the pose net on real pairs, trainer.py:348-418;
+    round 1 ran 2(F-1) static direct blocks = 12 wasted pair passes at F=7).
+
+    aug: [B, NF, H, W, 3] augmented frames. Returns (T_slot, T_err,
+    new_pose_stats).
+    """
+    B, _, H, W, _ = aug.shape
+    F = st.F
+    cdt = st.compute_dtype
+
+    left, right = _pose_pair_table(st)
+    pairs = jnp.concatenate([aug[:, left], aug[:, right]], axis=-1)  # [B,P0,H,W,6]
+
+    n_par = _n_slot_pairs(st)
+    if n_par > 0:
+        off = slot_offset[:, :n_par]  # [B, n_par] signed offsets
+        idx = (off + F)[:, :, None, None, None]
+        src = jnp.take_along_axis(aug, idx, axis=1)  # [B, n_par, H, W, 3]
+        tgt = jnp.broadcast_to(aug[:, F : F + 1], src.shape)
+        # even slots: (target, source); odd slots: (source, target) and the
+        # resulting pose is inverted in slot_poses -- the reference's
+        # orientation for negative offsets (trainer.py:396-402, 410-415)
+        even = (jnp.arange(n_par) % 2 == 0)[None, :, None, None, None]
+        lhs = jnp.where(even, tgt, src)
+        rhs = jnp.where(even, src, tgt)
+        pairs = jnp.concatenate([pairs, jnp.concatenate([lhs, rhs], axis=-1)], axis=1)
+
+    P = pairs.shape[1]
+    flat = pairs.reshape((B * P, H, W, 6)).astype(cdt)
+    pvars = {"params": pose_params, "batch_stats": pose_stats}
+    if train:
+        (aa, t), pmut = pose_net.apply(pvars, flat, train=True, mutable=["batch_stats"])
+        new_pstats = pmut["batch_stats"]
+    else:
+        aa, t = pose_net.apply(pvars, flat, train=False)
+        new_pstats = pose_stats
+    aa = aa.reshape(B, P, 3).astype(jnp.float32)
+    t = t.reshape(B, P, 3).astype(jnp.float32)
+
+    T_slot, T_err = slot_poses(st, aa, t, slot_offset, slot_partial)
+    return T_slot, T_err, new_pstats
 
 
 # --------------------------------------------------------------------------
@@ -278,21 +351,16 @@ def loss_forward(
         new_dstats = stats["depth"]
 
     # ---- one batched pose-net call over every pair the stage needs ----
-    left, right = _pose_pair_table(st)
-    pairs = jnp.concatenate([aug[:, left], aug[:, right]], axis=-1)  # [B,P,H,W,6]
-    P = pairs.shape[1]
-    flat = pairs.reshape((B * P, H, W, 6)).astype(cdt)
-    pvars = {"params": params["pose"], "batch_stats": stats["pose"]}
-    if train:
-        (aa, t), pmut = pose_net.apply(pvars, flat, train=True, mutable=["batch_stats"])
-        new_pstats = pmut["batch_stats"]
-    else:
-        aa, t = pose_net.apply(pvars, flat, train=False)
-        new_pstats = stats["pose"]
-    aa = aa.reshape(B, P, 3).astype(jnp.float32)
-    t = t.reshape(B, P, 3).astype(jnp.float32)
-
-    T_slot, T_err = slot_poses(st, aa, t, batch["slot_offset"], batch["slot_partial"])
+    T_slot, T_err, new_pstats = predict_poses(
+        st,
+        pose_net,
+        params["pose"],
+        stats["pose"],
+        aug,
+        batch["slot_offset"],
+        batch["slot_partial"],
+        train,
+    )
 
     # all 7 slots: 6 temporal + stereo
     T_slots = jnp.concatenate([T_slot, batch["stereo_T"][:, None]], axis=1)

@@ -185,14 +185,14 @@ class TestPosePlumbing:
 
     def test_incremental_lut_matches_manual_chaining(self):
         from baseboostdepth_tpu import geometry
-        from baseboostdepth_tpu.training.step import _pose_luts
+        from baseboostdepth_tpu.training.step import _pose_lut
 
         F = 3
         st = _static(F, incremental=True)
         rng = np.random.default_rng(0)
-        B, P = 2, 4 * F - 2
+        B, P = 2, 2 * F
         aa, t = self._random_posenet_out(rng, B, P)
-        lut, lut_dir = _pose_luts(st, aa, t)
+        lut = _pose_lut(st, aa, t)
         assert lut.shape == (B, 2 * F + 1, 4, 4)
 
         steps_pos = [
@@ -214,22 +214,17 @@ class TestPosePlumbing:
             np.testing.assert_allclose(np.asarray(lut[:, F - g - 1]), acc, atol=1e-5)
         np.testing.assert_allclose(np.asarray(lut[:, F]), np.broadcast_to(np.eye(4), (B, 4, 4)), atol=1e-6)
 
-        # direct lut: g=1 equals the step pose; g>=2 from the direct blocks
-        np.testing.assert_allclose(np.asarray(lut_dir[:, F + 1]), steps_pos[0], atol=1e-6)
-        k = 2 * F
-        for g in range(2, F + 1):
-            direct = np.asarray(
-                geometry.transformation_from_parameters(aa[:, k + g - 2], t[:, k + g - 2])
-            )
-            np.testing.assert_allclose(np.asarray(lut_dir[:, F + g]), direct, atol=1e-6)
-
     def test_partial_splice_and_error_pose(self):
-        from baseboostdepth_tpu.training.step import _pose_luts, slot_poses
+        from baseboostdepth_tpu import geometry
+        from baseboostdepth_tpu.training.step import _n_slot_pairs, _pose_lut, slot_poses
 
         F = 3
         st = _static(F, incremental=True)
         rng = np.random.default_rng(1)
-        B, P = 2, 4 * F - 2
+        B = 2
+        n_par = _n_slot_pairs(st)
+        assert n_par == 4
+        P = 2 * F + n_par
         aa, t = self._random_posenet_out(rng, B, P)
 
         slot_offset = np.tile(np.array([3, -3, 2, -2, 1, -1], np.int32), (B, 1))
@@ -239,14 +234,27 @@ class TestPosePlumbing:
         T_slot, T_err = slot_poses(
             st, aa, t, jnp.asarray(slot_offset), jnp.asarray(slot_partial)
         )
-        lut, lut_dir = _pose_luts(st, aa, t)
+        lut = _pose_lut(st, aa[:, : 2 * F], t[:, : 2 * F])
 
+        # slot 0 (+3): direct pose from slot-pair 0, forward orientation
         chain3 = np.asarray(lut[:, F + 3])
-        dir3 = np.asarray(lut_dir[:, F + 3])
+        dir3 = np.asarray(
+            geometry.transformation_from_parameters(aa[:, 2 * F], t[:, 2 * F])
+        )
         got = np.asarray(T_slot[:, 0])
         # partial slot: chained rotation columns + direct translation column
         np.testing.assert_allclose(got[..., :3], chain3[..., :3], atol=1e-6)
         np.testing.assert_allclose(got[..., 3], dir3[..., 3], atol=1e-6)
+        # slot 1 (-3): direct pose from slot-pair 1, inverted orientation
+        chain_m3 = np.asarray(lut[:, F - 3])
+        dir_m3 = np.asarray(
+            geometry.transformation_from_parameters(
+                aa[:, 2 * F + 1], t[:, 2 * F + 1], invert=True
+            )
+        )
+        got1 = np.asarray(T_slot[:, 1])
+        np.testing.assert_allclose(got1[..., :3], chain_m3[..., :3], atol=1e-6)
+        np.testing.assert_allclose(got1[..., 3], dir_m3[..., 3], atol=1e-6)
         # non-partial slot (+-1) keeps the chained pose
         np.testing.assert_allclose(np.asarray(T_slot[:, 4]), np.asarray(lut[:, F + 1]), atol=1e-6)
         # error pose: chained pose with translation / pose_error
@@ -254,6 +262,81 @@ class TestPosePlumbing:
             np.asarray(T_err[:, 0, :3, 3]), chain3[:, :3, 3] / st.pose_error, atol=1e-6
         )
         np.testing.assert_allclose(np.asarray(T_err[:, 0, :3, :3]), chain3[:, :3, :3], atol=1e-6)
+
+    def test_slot_pair_gather_matches_per_pair_oracle(self):
+        """predict_poses' gathered slot-direct pairs must equal running the
+        pose net on each sample's real (frame0, frame_o) pairs individually
+        (the reference's per-pair enumeration, trainer.py:407-418). Eval
+        mode so BN uses running stats and outputs are batch-agnostic."""
+        from baseboostdepth_tpu import geometry
+        from baseboostdepth_tpu.models import build_pose_net
+        from baseboostdepth_tpu.training.step import (
+            _pose_lut,
+            _pose_pair_table,
+            predict_poses,
+        )
+
+        F = 3
+        st = _static(F, incremental=True)
+        rng = np.random.default_rng(5)
+        B, NF = 2, num_frames(F)
+        aug = jnp.asarray(rng.random((B, NF, H, W, 3), dtype=np.float32))
+        # sample 0: f_max=3 (all partial slots); sample 1: f_max=2
+        slot_offset = jnp.asarray(
+            np.array([[3, -3, 2, -2, 1, -1], [2, -2, 1, -1, 0, 0]], np.int32)
+        )
+        slot_partial = jnp.asarray(
+            np.array(
+                [[True, True, True, True, False, False],
+                 [True, True, False, False, False, False]]
+            )
+        )
+
+        pose_net = build_pose_net()
+        pvars = pose_net.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6)), train=False)
+        pparams, pstats = pvars["params"], pvars.get("batch_stats", {})
+
+        T_slot, T_err, _ = predict_poses(
+            st, pose_net, pparams, pstats, aug, slot_offset, slot_partial, train=False
+        )
+
+        def pose_of(pair_img):
+            aa, t = pose_net.apply(
+                {"params": pparams, "batch_stats": pstats}, pair_img[None], train=False
+            )
+            return aa[0], t[0]
+
+        # oracle: chained poses from per-pair step estimates
+        left, right = _pose_pair_table(st)
+        for b in range(B):
+            aa_all, t_all = [], []
+            for l, r in zip(left, right):
+                aa_, t_ = pose_of(jnp.concatenate([aug[b, l], aug[b, r]], axis=-1))
+                aa_all.append(aa_), t_all.append(t_)
+            lut = _pose_lut(st, jnp.stack(aa_all)[None], jnp.stack(t_all)[None])[0]
+            for j in range(6):
+                o = int(slot_offset[b, j])
+                expected = np.asarray(lut[o + F])
+                if bool(slot_partial[b, j]):
+                    # direct pair for this slot
+                    if o > 0:
+                        aa_d, t_d = pose_of(
+                            jnp.concatenate([aug[b, F], aug[b, F + o]], axis=-1)
+                        )
+                        T_d = geometry.transformation_from_parameters(aa_d, t_d)
+                    else:
+                        aa_d, t_d = pose_of(
+                            jnp.concatenate([aug[b, F + o], aug[b, F]], axis=-1)
+                        )
+                        T_d = geometry.transformation_from_parameters(
+                            aa_d, t_d, invert=True
+                        )
+                    expected = expected.copy()
+                    expected[:, 3] = np.asarray(T_d)[:, 3]
+                np.testing.assert_allclose(
+                    np.asarray(T_slot[b, j]), expected, atol=2e-5,
+                    err_msg=f"sample {b} slot {j} offset {o}",
+                )
 
 
 def test_vit_optimizer_grouping():
