@@ -74,6 +74,27 @@ class OptimConfig:
 
 
 @dataclass
+class DistConfig:
+    """Multi-host (multi-process) data parallelism.
+
+    The reference has no distributed backend at all (SURVEY.md section 2.10:
+    single GPU, trainer.py:43); this is its TPU-native replacement. With
+    enabled=True, cli/train.py calls jax.distributed.initialize() before any
+    JAX use, the data mesh spans the global device set (DCN between hosts,
+    ICI within), each host loads its own batch_size/process_count slice of
+    every global batch, and shard_batch assembles the global array from
+    process-local data. Leave coordinator/num_processes/process_id as None
+    on TPU pods -- JAX auto-detects from the TPU metadata; set all three
+    explicitly for CPU/GPU clusters or tests.
+    """
+
+    enabled: bool = False
+    coordinator: Optional[str] = None  # "host:port" of process 0
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+
+
+@dataclass
 class LogConfig:
     log_dir: str = "logs"
     model_name: str = "bbd_tpu"
@@ -89,6 +110,7 @@ class Config:
     data: DataConfig = field(default_factory=DataConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     log: LogConfig = field(default_factory=LogConfig)
+    dist: DistConfig = field(default_factory=DistConfig)
     seed: int = 42
 
     # ------------------------------------------------------------------ io
@@ -117,6 +139,7 @@ class Config:
             data=build(DataConfig, d.get("data", {})),
             optim=build(OptimConfig, d.get("optim", {})),
             log=build(LogConfig, d.get("log", {})),
+            dist=build(DistConfig, d.get("dist", {})),
             seed=d.get("seed", 42),
         )
 
@@ -172,4 +195,10 @@ def _coerce(val: str, current):
         return int(val)
     if isinstance(current, float):
         return float(val)
+    if current is None:
+        # Optional[...] field: ints where they parse, strings otherwise
+        try:
+            return int(val)
+        except ValueError:
+            return val
     return val

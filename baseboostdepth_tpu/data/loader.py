@@ -59,10 +59,22 @@ class KittiTrainLoader:
         seed: int = 0,
         drop_last: bool = True,
         use_native: Optional[bool] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the GLOBAL batch size. Under multi-host training
+        (process_count > 1) every process builds the same shuffled order and
+        the same per-sample RNG seeds from the shared `seed`, then loads only
+        its own batch_size/process_count slice of each global batch -- so the
+        realized global batch (and therefore training) is bit-identical to a
+        single-process run, and no host reads another host's images."""
+        assert batch_size % process_count == 0, (batch_size, process_count)
         self.index = index
         self.stage = stage
         self.batch_size = batch_size
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local_batch = batch_size // process_count
         self.height = height
         self.width = width
         self.trimin = trimin
@@ -84,6 +96,17 @@ class KittiTrainLoader:
     def __len__(self) -> int:
         n = len(self.index)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _local_slice(self, order: np.ndarray, bi: int):
+        """This process's (sample_indices, rng_seeds) slice of global batch
+        bi. Seeds are drawn at global batch size on every process so the
+        realized augmentation stream is process-count invariant."""
+        base = bi * self.batch_size
+        gidxs = order[base : base + self.batch_size]
+        seeds = self.rng.integers(0, 2**63, size=self.batch_size)
+        lo = self.process_index * self.local_batch
+        hi = lo + self.local_batch
+        return gidxs[lo:hi], seeds[lo:hi]
 
     # ---------------------------------------------------------------- plan
     def _plan_sample(self, sample_idx: int, rng: np.random.Generator):
@@ -135,10 +158,10 @@ class KittiTrainLoader:
         F = self.F
         NF = num_frames(F)
         for bi in range(nb):
-            idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
+            idxs, seeds = self._local_slice(order, bi)
             plans = [
                 self._plan_sample(int(i), np.random.default_rng(int(sd)))
-                for i, sd in zip(idxs, self.rng.integers(0, 2**63, size=len(idxs)))
+                for i, sd in zip(idxs, seeds)
             ]
             flat_paths, owners = [], []
             for b, (paths, *_rest) in enumerate(plans):
@@ -245,8 +268,7 @@ class KittiTrainLoader:
         nb = len(self)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             for bi in range(nb):
-                idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
-                seeds = self.rng.integers(0, 2**63, size=len(idxs))
+                idxs, seeds = self._local_slice(order, bi)
                 futs = [
                     pool.submit(self._load_sample, int(i), np.random.default_rng(int(sd)))
                     for i, sd in zip(idxs, seeds)

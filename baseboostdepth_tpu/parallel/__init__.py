@@ -10,6 +10,7 @@ collectives. Multi-host extends the same mesh via jax.distributed.initialize.
 
 from baseboostdepth_tpu.parallel.sharding import (  # noqa: F401
     data_mesh,
+    initialize_distributed,
     shard_batch,
     replicate,
 )

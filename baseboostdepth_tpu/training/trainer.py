@@ -113,6 +113,12 @@ class Trainer:
         assert cfg.optim.batch_size % n_dev == 0, (
             f"batch_size {cfg.optim.batch_size} must divide over {n_dev} devices"
         )
+        # multi-host: this process loads and logs only its share (the
+        # reference has no distributed path to mirror; SURVEY.md section 2.10)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_lead = self.process_index == 0
+        assert cfg.optim.batch_size % max(self.process_count, 1) == 0
 
         self.optimizer = make_optimizer(
             cfg.optim.learning_rate,
@@ -234,6 +240,8 @@ class Trainer:
                 num_workers=cfg.data.num_workers,
                 prefetch=cfg.data.prefetch,
                 seed=cfg.seed * 1000 + epoch,
+                process_index=self.process_index,
+                process_count=self.process_count,
             )
             print(
                 f"epoch {epoch}: F={st.F} scales={st.scales} cutoff={stage.cutoff:.2f} "
@@ -249,15 +257,19 @@ class Trainer:
                 seen += cfg.optim.batch_size
 
                 if stop_requested["flag"]:
-                    self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "preempted": True})
-                    print("emergency checkpoint written; exiting")
+                    if self.is_lead:
+                        self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "preempted": True})
+                        print("emergency checkpoint written; exiting")
                     return
 
                 if bi % cfg.log.log_frequency == 0 and bi > 0:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     if not all(map(lambda v: v == v and abs(v) < 1e6, m.values())):
-                        self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "nan": True})
+                        if self.is_lead:
+                            self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "nan": True})
                         raise FloatingPointError(f"non-finite loss at step {global_step}: {m}")
+                    if not self.is_lead:
+                        continue
                     rate = seen / (time.time() - t_epoch)
                     elapsed = time.time() - t0
                     m.update(epoch=epoch, imgs_per_sec=rate)
@@ -269,7 +281,7 @@ class Trainer:
                     if self.gt_depths is not None:
                         self.validate(st, global_step, epoch, bi)
 
-            if (epoch + 1) % cfg.log.save_frequency == 0:
+            if (epoch + 1) % cfg.log.save_frequency == 0 and self.is_lead:
                 self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch})
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
