@@ -2,13 +2,24 @@
 method (late curriculum stage: F=7, tri-min + incremental + partial + decomp,
 scale [0]) on the flagship Monodepth2 ResNet-18 config at 640x192, batch 12.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md #6);
 its trainer prints examples/s at runtime only. We normalize against 30
 imgs/s -- a representative single-GPU Monodepth2-family training throughput
-at 640x192 on the 2080Ti-class hardware of the paper's era -- so the ratio
-is meaningful across rounds even though the exact reference rate is unknown.
+at 640x192 on the 2080Ti-class hardware of the paper's era. The extras make
+progress measurable against the REAL target (BASELINE.json "TPU roofline"):
+  flops_per_step   XLA-counted FLOPs of the compiled train step
+  mfu              flops_per_step / (step_time * peak_flops)
+  pct_roofline     mfu * 100
+Counted flops exclude the Pallas warp custom call (XLA cannot see inside
+it), so mfu is slightly conservative.
+
+Pose realism: an untrained pose net emits ~0.001-scale poses, so warp grids
+hug the identity and the packed warp kernel's band sweep sees its best case
+(CLAUDE.md ledger). The benchmark injects KITTI-scale ego-motion via the
+pose head bias (~0.08 fwd translation + ~0.006 rad rotation per step frame,
+chained over +-7) so the sampled displacements match mid-training reality.
 """
 
 import json
@@ -17,6 +28,36 @@ import time
 import numpy as np
 
 REFERENCE_IMGS_PER_SEC = 30.0
+# TPU v5e (the bench target): 197 bf16 TFLOP/s per chip.
+PEAK_FLOPS_BY_PLATFORM = {"tpu": 197e12, "axon": 197e12}
+
+
+def inject_realistic_pose_bias(params):
+    """Bias the pose head so step poses have KITTI-scale magnitude.
+
+    PoseDecoder output is 0.01 * meanpool(conv); frame-0 components are bias
+    elements 0..5 ([aa, t] -- models/pose.py:44-47). Translation ~0.08/frame
+    forward (the split baseline column spans 0.0013-0.48,
+    splits/eigen_zhou/train_files_baselines.txt), rotation ~0.006 rad/frame.
+    """
+    import jax.numpy as jnp
+
+    bias = params["pose"]["decoder"]["pose_2"]["bias"]
+    new = jnp.asarray(bias).at[:6].set(jnp.array([0.3, 0.6, 0.3, 1.0, 1.0, -8.0]))
+    params["pose"]["decoder"]["pose_2"]["bias"] = new.astype(bias.dtype)
+    return params
+
+
+def compiled_flops(step_fn, state, batch, key):
+    """XLA-counted flops of the jitted train step (None if unsupported)."""
+    try:
+        cost = step_fn.lower(state, batch, key).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
 
 
 def main():
@@ -48,6 +89,7 @@ def main():
     )
     opt = make_optimizer(steps_per_epoch=3317)
     state = init_state(st, opt, jax.random.PRNGKey(0))
+    state = state.replace(params=inject_realistic_pose_bias(state.params))
 
     rng = np.random.default_rng(0)
     NF = num_frames(F)
@@ -68,30 +110,42 @@ def main():
     batch = jax.tree.map(jax.numpy.asarray, batch)
 
     step_fn = make_train_step(st, opt)
+    flops = compiled_flops(step_fn, state, batch, jax.random.PRNGKey(1))
 
     # warmup / compile
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(metrics["loss"])
+    # the tunneled platform's block_until_ready does not block; force a
+    # scalar readback for timing (CLAUDE.md)
+    float(metrics["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / iters
 
     imgs_per_sec = B / dt
     n_chips = 1  # bench runs on one chip; metric is per-chip
-    print(
-        json.dumps(
-            {
-                "metric": "train_imgs_per_sec_per_chip_full_method_640x192",
-                "value": round(imgs_per_sec / n_chips, 2),
-                "unit": "imgs/sec/chip",
-                "vs_baseline": round(imgs_per_sec / n_chips / REFERENCE_IMGS_PER_SEC, 3),
-            }
-        )
-    )
+
+    platform = jax.devices()[0].platform
+    peak = PEAK_FLOPS_BY_PLATFORM.get(platform)
+    mfu = (flops / (dt * peak)) if (flops and peak) else None
+
+    out = {
+        "metric": "train_imgs_per_sec_per_chip_full_method_640x192",
+        "value": round(imgs_per_sec / n_chips, 2),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec / n_chips / REFERENCE_IMGS_PER_SEC, 3),
+        "step_ms": round(dt * 1e3, 1),
+    }
+    if flops:
+        out["flops_per_step"] = round(flops)
+    if mfu is not None:
+        out["mfu"] = round(mfu, 4)
+        out["pct_roofline"] = round(100 * mfu, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
