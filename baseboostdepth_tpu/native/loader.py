@@ -29,10 +29,12 @@ def _build() -> Optional[ctypes.CDLL]:
     global _build_failed
     try:
         if (not os.path.exists(_SO)) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            cmd = [
-                "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                _SRC, "-ljpeg", "-o", _SO,
-            ]
+            # -march=native only when explicitly requested: the .so may be
+            # built once and shipped to a fleet of heterogeneous TPU hosts,
+            # where native-tuned code can SIGILL. -O3 alone decodes within
+            # a few % (libjpeg does the heavy lifting).
+            arch = ["-march=native"] if os.environ.get("BBD_NATIVE_MARCH") else []
+            cmd = ["g++", "-O3", *arch, "-shared", "-fPIC", _SRC, "-ljpeg", "-o", _SO]
             subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.bbd_decode_resize_batch.restype = ctypes.c_int
