@@ -61,6 +61,12 @@ class DataConfig:
     png: bool = False
     num_workers: int = 8
     prefetch: int = 2
+    # frame-budget bucketing (e.g. (2, 5, 7)): batch samples by curriculum
+    # window class so narrow-window samples run a cheaper jit specialization
+    # instead of padding to the stage budget. () = off (round-1 behavior).
+    # Changes batch composition (and thus BN batch stats), not per-sample
+    # plans -- see data/loader.py docstring.
+    bucket_fs: Tuple[int, ...] = ()
 
 
 @dataclass
@@ -101,6 +107,14 @@ class LogConfig:
     log_frequency: int = 250  # batches between val+checkpoint (trainer.py:266)
     save_frequency: int = 1  # epochs between checkpoints
     wandb: bool = False  # optional; console/JSONL writer is the default
+    # quick-val subsample size for the periodic in-epoch validation; 0 = the
+    # reference behavior (ALL 4,424 val images every log_frequency batches,
+    # trainer.py:623-633). A full val still runs at every epoch end.
+    quick_val_size: int = 0
+    image_panels: bool = True  # per-val target/disp/warp/automask PNG grids
+    # SYNS edge-accuracy online validation (reference trainer.py:646-663,
+    # gated by its --SYNS_edge flag); needs syns_path + SYNS split GT
+    syns_val: bool = False
 
 
 @dataclass

@@ -17,7 +17,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -61,14 +61,32 @@ class KittiTrainLoader:
         use_native: Optional[bool] = None,
         process_index: int = 0,
         process_count: int = 1,
+        bucket_fs: Optional[Tuple[int, ...]] = None,
     ):
         """batch_size is the GLOBAL batch size. Under multi-host training
         (process_count > 1) every process builds the same shuffled order and
         the same per-sample RNG seeds from the shared `seed`, then loads only
         its own batch_size/process_count slice of each global batch -- so the
         realized global batch (and therefore training) is bit-identical to a
-        single-process run, and no host reads another host's images."""
+        single-process run, and no host reads another host's images.
+
+        bucket_fs: optional ascending frame-budget classes, last == stage.F
+        (e.g. (2, 5, 7)). When set, samples are grouped into batches by the
+        smallest class covering their curriculum window f_max, so narrow-
+        window samples run a cheaper jit specialization (fewer pose pairs,
+        warps, frames) instead of padding up to the stage budget -- the
+        reference only ever computes real pairs (trainer.py:348-418), this
+        recovers that economy with static shapes. Per-sample plans (windows,
+        flips, jitter) are drawn from the SAME rng stream as the unbucketed
+        loader; only batch composition changes (and with it BatchNorm batch
+        statistics -- see README divergence notes). Per-class leftover
+        samples at epoch end are dropped (a generalization of drop_last).
+        """
         assert batch_size % process_count == 0, (batch_size, process_count)
+        if bucket_fs is not None:
+            assert tuple(sorted(bucket_fs)) == tuple(bucket_fs), bucket_fs
+            assert bucket_fs[-1] == stage.F, (bucket_fs, stage.F)
+        self.bucket_fs = tuple(bucket_fs) if bucket_fs else None
         self.index = index
         self.stage = stage
         self.batch_size = batch_size
@@ -150,148 +168,105 @@ class KittiTrainLoader:
             jit[:, 3] = rng.uniform(-0.1, 0.1, size=NF)
         return paths, f, stereo_T, do_flip, jit
 
-    def _batches_native(self):
-        """One native decode+resize call per batch (C++ thread pool over
-        every frame of every sample); replaces python-side image IO."""
-        order = self.rng.permutation(len(self.index))
-        nb = len(self)
-        F = self.F
-        NF = num_frames(F)
-        for bi in range(nb):
-            idxs, seeds = self._local_slice(order, bi)
-            plans = [
-                self._plan_sample(int(i), np.random.default_rng(int(sd)))
-                for i, sd in zip(idxs, seeds)
-            ]
-            flat_paths, owners = [], []
-            for b, (paths, *_rest) in enumerate(plans):
-                for slot, pth in paths.items():
-                    owners.append((b, slot))
-                    flat_paths.append(pth)
+    # ------------------------------------------------------------- decode
+    def _decode(self, flat_paths: List[str]) -> List[np.ndarray]:
+        """Decode+resize a path list -> uint8 [H, W, 3] images (C++ batch
+        decoder when built, PIL thread pool otherwise)."""
+        if self.use_native:
             decoded, ok = decode_resize_batch(
                 flat_paths, self.width, self.height, threads=self.num_workers
             )
-            B = len(plans)
-            frames = np.empty((B, NF, self.height, self.width, 3), np.uint8)
-            center = {}
-            for (b, slot), img, good in zip(owners, decoded, ok):
+            for pth, good in zip(flat_paths, ok):
                 if not good:
-                    raise FileNotFoundError(flat_paths[owners.index((b, slot))])
-                frames[b, slot] = img
-                if slot == F:
+                    raise FileNotFoundError(pth)
+            return list(decoded)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            return list(
+                pool.map(lambda p: load_resized(p, self.width, self.height), flat_paths)
+            )
+
+    def _assemble(self, plans, F_c: int) -> Dict[str, np.ndarray]:
+        """Decode the planned frames and build a fixed-shape batch with
+        frame budget F_c (== self.F unbucketed; a smaller class under
+        bucket_fs). Plans are slot-keyed at the STAGE budget; slots are
+        rebased onto the F_c axis here."""
+        F, NF = self.F, num_frames(self.F)
+        NF_c = num_frames(F_c)
+        B = len(plans)
+
+        flat_paths, owners = [], []
+        for b, (paths, f, *_rest) in enumerate(plans):
+            assert f <= F_c, (f, F_c)
+            for slot, pth in paths.items():
+                off = "s" if slot == NF - 1 else slot - F
+                owners.append((b, off))
+                flat_paths.append(pth)
+        decoded = self._decode(flat_paths)
+
+        frames = np.empty((B, NF_c, self.height, self.width, 3), np.uint8)
+        center = {}
+        for (b, off), img in zip(owners, decoded):
+            if off == "s":
+                frames[b, NF_c - 1] = img
+            else:
+                frames[b, off + F_c] = img
+                if off == 0:
                     center[b] = img
-            for b, (paths, f, *_rest) in enumerate(plans):
-                for slot in range(NF):
-                    if slot not in paths:
-                        frames[b, slot] = center[b]
-            f_max = np.array([pl[1] for pl in plans], dtype=np.int64)
-            stereo_T = np.stack([pl[2] for pl in plans])
-            flip = np.array([pl[3] for pl in plans], dtype=bool)
-            jitter = np.stack([pl[4] for pl in plans])
-            K = np.broadcast_to(self._K, (B, 4, 4)).copy()
-            yield make_batch(
-                frames, f_max, K, stereo_T, flip, jitter, F,
-                self.trimin, self.use_stereo, self.classic,
-            )
+        for b, (paths, f, *_rest) in enumerate(plans):
+            for o in range(-F_c, F_c + 1):
+                if abs(o) > f:
+                    frames[b, o + F_c] = center[b]
+            if (NF - 1) not in paths:  # no stereo frame planned
+                frames[b, NF_c - 1] = center[b]
 
-    # ---------------------------------------------------------------- sample
-    def _load_sample(self, sample_idx: int, rng: np.random.Generator):
-        s = self.index.samples[sample_idx]
-        F = self.F
-        NF = num_frames(F)
-
-        if self.classic:
-            f = 1
-        else:
-            f = sample_f_max(
-                s.baseline,
-                self.stage,
-                rng,
-                exists=lambda o: self.index.exists(s.folder, s.frame_index + o, s.side),
-            )
-
-        do_flip = bool(rng.random() > 0.5)
-
-        frames = np.empty((NF, self.height, self.width, 3), dtype=np.uint8)
-        center = load_resized(
-            self.index.image_path(s.folder, s.frame_index, s.side),
-            self.width,
-            self.height,
+        f_max = np.array([pl[1] for pl in plans], dtype=np.int64)
+        stereo_T = np.stack([pl[2] for pl in plans])
+        flip = np.array([pl[3] for pl in plans], dtype=bool)
+        # jitter was drawn per stage-slot; rebase rows onto the F_c axis
+        jit_full = np.stack([pl[4] for pl in plans])  # [B, NF, 4]
+        jitter = np.concatenate(
+            [jit_full[:, F - F_c : F + F_c + 1], jit_full[:, NF - 1 :]], axis=1
         )
-        frames[F] = center
-        for o in range(1, F + 1):
-            for sign in (1, -1):
-                i = F + sign * o
-                if o <= f:
-                    frames[i] = load_resized(
-                        self.index.image_path(s.folder, s.frame_index + sign * o, s.side),
-                        self.width,
-                        self.height,
-                    )
-                else:
-                    frames[i] = center
-
-        # stereo frame: loaded whenever the slot table can use it
-        needs_stereo = self.use_stereo and (self.classic or f <= 2)
-        if needs_stereo:
-            frames[NF - 1] = load_resized(
-                self.index.image_path(s.folder, s.frame_index, kitti.OTHER_SIDE[s.side]),
-                self.width,
-                self.height,
-            )
-        else:
-            frames[NF - 1] = center
-
-        # flip applied on device; stereo_T sign must match
-        # (mono_dataset.py:136-140)
-        stereo_T = np.eye(4, dtype=np.float32)
-        baseline_sign = -1 if do_flip else 1
-        side_sign = -1 if s.side == "l" else 1
-        stereo_T[0, 3] = side_sign * baseline_sign * 0.1
-
-        # jitter: identity with p=0.5, otherwise per-frame params
-        # (mono_dataset.py:77,124-128; torchvision draws per image)
-        jit = np.ones((NF, 4), dtype=np.float32)
-        jit[:, 3] = 0.0
-        if rng.random() > 0.5:
-            jit[:, :3] = rng.uniform(0.8, 1.2, size=(NF, 3))
-            jit[:, 3] = rng.uniform(-0.1, 0.1, size=NF)
-
-        return frames, f, stereo_T, do_flip, jit
+        K = np.broadcast_to(self._K, (B, 4, 4)).copy()
+        return make_batch(
+            frames, f_max, K, stereo_T, flip, jitter, F_c,
+            self.trimin, self.use_stereo, self.classic,
+        )
 
     # ----------------------------------------------------------------- epoch
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        if self.use_native:
-            yield from self._batches_native()
-            return
         order = self.rng.permutation(len(self.index))
         nb = len(self)
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+        if self.bucket_fs is None:
             for bi in range(nb):
                 idxs, seeds = self._local_slice(order, bi)
-                futs = [
-                    pool.submit(self._load_sample, int(i), np.random.default_rng(int(sd)))
+                plans = [
+                    self._plan_sample(int(i), np.random.default_rng(int(sd)))
                     for i, sd in zip(idxs, seeds)
                 ]
-                results = [f.result() for f in futs]
-                frames = np.stack([r[0] for r in results])
-                f_max = np.array([r[1] for r in results], dtype=np.int64)
-                stereo_T = np.stack([r[2] for r in results])
-                flip = np.array([r[3] for r in results], dtype=bool)
-                jitter = np.stack([r[4] for r in results])
-                K = np.broadcast_to(self._K, (len(idxs), 4, 4)).copy()
-                yield make_batch(
-                    frames,
-                    f_max,
-                    K,
-                    stereo_T,
-                    flip,
-                    jitter,
-                    self.F,
-                    self.trimin,
-                    self.use_stereo,
-                    self.classic,
-                )
+                yield self._assemble(plans, self.F)
+            return
+
+        # bucketed: plans are drawn in the SAME global order/stream, then
+        # grouped by frame-budget class; every process sees the same global
+        # queues and assembles only its slice of each filled batch
+        queues: Dict[int, list] = {fc: [] for fc in self.bucket_fs}
+        lo = self.process_index * self.local_batch
+        hi = lo + self.local_batch
+        for bi in range(nb):
+            base = bi * self.batch_size
+            gidxs = order[base : base + self.batch_size]
+            seeds = self.rng.integers(0, 2**63, size=self.batch_size)
+            for i, sd in zip(gidxs, seeds):
+                plan = self._plan_sample(int(i), np.random.default_rng(int(sd)))
+                f = plan[1]
+                fc = next(c for c in self.bucket_fs if f <= c)
+                queues[fc].append(plan)
+                if len(queues[fc]) == self.batch_size:
+                    batch_plans = queues[fc]
+                    queues[fc] = []
+                    yield self._assemble(batch_plans[lo:hi], fc)
+        # per-class leftovers are dropped (generalized drop_last)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Iterate with background prefetch (double buffering host vs device)."""

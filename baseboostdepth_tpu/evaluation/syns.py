@@ -81,8 +81,11 @@ def evaluate_syns(
     stats,
     chamfer: bool = False,
     split: str = "SYNS",
+    file_name: str = "test_files.txt",
 ) -> dict:
-    """Full SYNS test evaluation from a trained state."""
+    """Full SYNS evaluation from a trained state. Pass
+    file_name='val_files.txt' for the online-validation variant (reference
+    trainer.py:646-663 runs the SYNS val split during training)."""
     from baseboostdepth_tpu.evaluation.depth import predict_disparities
     from baseboostdepth_tpu.training.step import StepStatic
     from baseboostdepth_tpu.utils import readlines
@@ -95,16 +98,18 @@ def evaluate_syns(
         dtype=cfg.model.dtype,
     )
     split_dir = os.path.join(cfg.data.splits_dir, split)
-    files = readlines(os.path.join(split_dir, "test_files.txt"))
+    files = readlines(os.path.join(split_dir, file_name))
     paths = []
     for ln in files:
         folder, frame = ln.split()
         paths.append(os.path.join(cfg.data.syns_path, "images", folder, f"{frame}.png"))
 
     disps = predict_disparities(st, params, stats, paths)
-    gt_depths = np.load(os.path.join(split_dir, "gt_depths.npz"), fix_imports=True,
+    # val-split GT lives in *_val.npz sidecars (export_gt writes both)
+    suffix = "_val" if file_name.startswith("val") else ""
+    gt_depths = np.load(os.path.join(split_dir, f"gt_depths{suffix}.npz"), fix_imports=True,
                         encoding="latin1", allow_pickle=True)["data"]
-    gt_edges = np.load(os.path.join(split_dir, "gt_edges.npz"), fix_imports=True,
+    gt_edges = np.load(os.path.join(split_dir, f"gt_edges{suffix}.npz"), fix_imports=True,
                        encoding="latin1", allow_pickle=True)["data"]
 
     inv_K3 = np.linalg.pinv(syns_intrinsics())

@@ -49,6 +49,7 @@ def slot_losses(
     images: jax.Array,
     slot_valid: jax.Array,
     use_ssim: bool = True,
+    photo_fn=None,
 ) -> jax.Array:
     """Photometric loss of each slot image against the shared target.
 
@@ -56,6 +57,9 @@ def slot_losses(
       target: [B, H, W, 3] frame-0 color.
       images: [B, S, H, W, 3] per-slot images (warped or raw sources).
       slot_valid: [B, S] bool.
+      photo_fn: optional (pred, target) -> [N, H, W, 1] override (the
+        training step passes a shard_map-wrapped fused kernel under a
+        multi-device mesh -- GSPMD would replicate a bare pallas_call).
     Returns:
       [B, S, H, W] losses, _MASKED where invalid.
     """
@@ -63,7 +67,10 @@ def slot_losses(
     tgt = jnp.broadcast_to(target[:, None], images.shape)
     flat_pred = images.reshape((B * S,) + images.shape[2:])
     flat_tgt = tgt.reshape((B * S,) + images.shape[2:])
-    pe = reprojection_loss(flat_pred, flat_tgt, use_ssim=use_ssim)[..., 0]
+    if photo_fn is not None:
+        pe = photo_fn(flat_pred, flat_tgt)[..., 0]
+    else:
+        pe = reprojection_loss(flat_pred, flat_tgt, use_ssim=use_ssim)[..., 0]
     pe = pe.reshape(B, S, *pe.shape[1:])
     return jnp.where(slot_valid[:, :, None, None], pe, _MASKED)
 

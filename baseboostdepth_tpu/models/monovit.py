@@ -187,7 +187,8 @@ class MHCABlock(nn.Module):
         x = x + dp(FactorAttention(self.dim, crpe=self.crpe, num_heads=self.num_heads, dtype=self.dtype, name="attn")(cur, H, W))
         cur = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, dtype=self.dtype, name="mlp_fc1")(cur)
-        y = nn.gelu(y)
+        # exact (erf) GELU: torch nn.GELU default, reference mpvit.py:72
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(y)
         return x + dp(y)
 

@@ -330,6 +330,10 @@ def loss_forward(
     noise_key, drop_key = jax.random.split(noise_key)
 
     frames = batch["frames"]
+    assert frames.shape[1] == NF, (
+        f"batch frame axis {frames.shape[1]} != 2F+2 = {NF}: the loader's "
+        f"stage/bucket F and StepStatic.F disagree"
+    )
     is_u8 = frames.dtype == jnp.uint8
     frames = apply_flip(frames, batch["flip"])
     color = frames.astype(jnp.float32) / 255.0 if is_u8 else frames
@@ -374,7 +378,28 @@ def loss_forward(
     target = color[:, F]
     slot_valid = batch["slot_valid"]
 
-    ident_l = losses.slot_losses(target, sources, slot_valid, use_ssim=st.use_ssim)
+    # GSPMD replicates custom calls it cannot partition; under a >1-device
+    # mesh both Pallas kernels (packed warp, fused photometric) are
+    # shard_map-pinned to per-device batch shards on the data axis.
+    multi_dev = mesh is not None and mesh.devices.size > 1
+
+    photo_fn = None
+    if multi_dev and st.use_ssim and jax.default_backend() == "tpu":
+        from jax.sharding import PartitionSpec as _P
+
+        from baseboostdepth_tpu.ops.ssim_pallas import reprojection_loss_fused
+
+        photo_fn = jax.shard_map(
+            lambda p, t: reprojection_loss_fused(p, t, False),
+            mesh=mesh,
+            in_specs=(_P("data"), _P("data")),
+            out_specs=_P("data"),
+            check_vma=False,
+        )
+
+    ident_l = losses.slot_losses(
+        target, sources, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn
+    )
     noise = jax.random.normal(noise_key, (B, 1, H, W)) * 1e-5
 
     pyramid = lanczos_pyramid(target, num_scales=max(st.scales) + 1)
@@ -386,9 +411,7 @@ def loss_forward(
     use_packed = is_u8 and warp_fn is not bilinear_sample
 
     packed_warp = bilinear_sample_pallas_u8
-    if use_packed and mesh is not None and mesh.devices.size > 1:
-        # GSPMD replicates custom calls it cannot partition; shard_map pins
-        # the Pallas kernel to per-device batch shards on the data axis.
+    if use_packed and multi_dev:
         from jax.sharding import PartitionSpec as _P
 
         packed_warp = jax.shard_map(
@@ -427,13 +450,16 @@ def loss_forward(
             _, depth = geometry.disp_to_depth(disp_full[..., 0], st.min_depth, st.max_depth)
 
         warped = warp_all(depth, T_slots)
-        warp_l = losses.slot_losses(target, warped, slot_valid, use_ssim=st.use_ssim)
+        warp_l = losses.slot_losses(
+            target, warped, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn
+        )
 
         err_l = None
         if T_err is not None:
             warped_e = warp_all(depth, T_err)
             err_l = losses.slot_losses(
-                target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim
+                target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim,
+                photo_fn=photo_fn,
             )
 
         min_l = losses.min_reprojection(warp_l, ident_l, noise, err_l)
@@ -483,6 +509,90 @@ def make_train_step(
         return new_state, metrics
 
     return jax.jit(_step, donate_argnums=(0,))
+
+
+def make_debug_forward(st: StepStatic):
+    """Build debug_fn(params, stats, batch, rng) -> image panel tensors.
+
+    The observability the reference gets from wandb image logging
+    (trainer.py:736-772): target, colormappable disparity, per-slot warped
+    candidates, the per-pixel min loss, and which candidate won (warp /
+    identity / error-pose per slot -- the reference's `ident` masks,
+    trainer.py:1046-1100). Run on demand at log time; never in the train
+    loop.
+    """
+
+    @jax.jit
+    def _dbg(params, stats, batch, rng):
+        H, W, F = st.height, st.width, st.F
+        frames = batch["frames"]
+        is_u8 = frames.dtype == jnp.uint8
+        frames = apply_flip(frames, batch["flip"])
+        color = frames.astype(jnp.float32) / 255.0 if is_u8 else frames
+
+        depth_net, pose_net = build_networks(st)
+        dvars = {"params": params["depth"], "batch_stats": stats["depth"]}
+        disps = depth_net.apply(dvars, color[:, F].astype(st.compute_dtype), train=False)
+        disp0 = disps[0].astype(jnp.float32)
+        disp_full = disp0 if disp0.shape[1:3] == (H, W) else resize_bilinear(disp0, H, W)
+
+        T_slot, T_err, _ = predict_poses(
+            st, pose_net, params["pose"], stats["pose"], color,
+            batch["slot_offset"], batch["slot_partial"], train=False,
+        )
+        T_slots = jnp.concatenate([T_slot, batch["stereo_T"][:, None]], axis=1)
+
+        if st.metric_depth:
+            depth = disp_full[..., 0]
+        else:
+            _, depth = geometry.disp_to_depth(disp_full[..., 0], st.min_depth, st.max_depth)
+
+        B = color.shape[0]
+        S = T_slots.shape[1]
+        target = color[:, F]
+        src_idx = jnp.concatenate(
+            [batch["slot_offset"] + F, jnp.full((B, 1), 2 * F + 1, jnp.int32)], axis=1
+        )
+        sources = jnp.take_along_axis(color, src_idx[:, :, None, None, None], axis=1)
+
+        def warp(Ts):
+            n = Ts.shape[1]
+            d = jnp.broadcast_to(depth[:, None], (B, n, H, W)).reshape(B * n, H, W)
+            grid = geometry.warp_grid(
+                d, jnp.repeat(batch["K"], n, axis=0), jnp.repeat(batch["inv_K"], n, axis=0),
+                Ts.reshape(B * n, 4, 4),
+            )
+            return bilinear_sample(sources[:, :n].reshape(B * n, H, W, 3), grid).reshape(
+                B, n, H, W, 3
+            )
+
+        warped = warp(T_slots)
+        slot_valid = batch["slot_valid"]
+        warp_l = losses.slot_losses(target, warped, slot_valid, use_ssim=st.use_ssim)
+        ident_l = losses.slot_losses(target, sources, slot_valid, use_ssim=st.use_ssim)
+        noise = jax.random.normal(rng, (B, 1, H, W)) * 1e-5
+        cands = [warp_l, ident_l + noise]
+        if T_err is not None:
+            warped_e = warp(T_err)
+            cands.append(
+                losses.slot_losses(target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim)
+            )
+        all_c = jnp.concatenate(cands, axis=1)
+        winner = jnp.argmin(all_c, axis=1).astype(jnp.int32)
+        return {
+            "target": target,
+            "disp": disp_full[..., 0],
+            "depth": depth,
+            "warped": warped,
+            "min_loss": jnp.min(all_c, axis=1),
+            # candidate index: 0..S-1 warp, S..2S-1 identity, 2S.. error
+            "winner": winner,
+            # automask = an identity candidate won (stationary pixel;
+            # reference's `ident` bookkeeping, trainer.py:1046-1100)
+            "automask": ((winner >= S) & (winner < 2 * S)).astype(jnp.float32),
+        }
+
+    return _dbg
 
 
 def make_eval_forward(st: StepStatic):

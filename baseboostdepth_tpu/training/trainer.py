@@ -11,6 +11,7 @@ abs_rel (trainer.py:623-665).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import signal
@@ -31,6 +32,7 @@ from baseboostdepth_tpu.training.optim import make_optimizer
 from baseboostdepth_tpu.training.step import (
     StepStatic,
     init_state,
+    make_debug_forward,
     make_eval_forward,
     make_train_step,
 )
@@ -228,6 +230,14 @@ class Trainer:
             )
             st = self._static_for_stage(stage)
             step_fn = self._step_fn(st)
+            # frame-budget buckets clipped to this stage (e.g. (2,5,7) ->
+            # (2,5,7) late stage, no-op early); only meaningful with the
+            # curriculum on
+            bucket_fs = None
+            if cfg.data.bucket_fs and cfg.method.curriculum:
+                bucket_fs = tuple(sorted({min(b, stage.F) for b in cfg.data.bucket_fs}))
+                if bucket_fs == (stage.F,):
+                    bucket_fs = None
             loader = KittiTrainLoader(
                 self.train_index,
                 stage,
@@ -242,6 +252,7 @@ class Trainer:
                 seed=cfg.seed * 1000 + epoch,
                 process_index=self.process_index,
                 process_count=self.process_count,
+                bucket_fs=bucket_fs,
             )
             print(
                 f"epoch {epoch}: F={st.F} scales={st.scales} cutoff={stage.cutoff:.2f} "
@@ -250,9 +261,15 @@ class Trainer:
             t_epoch = time.time()
             seen = 0
             for bi, batch in enumerate(loader):
+                fn = step_fn
+                if bucket_fs is not None:
+                    F_c = (batch["frames"].shape[1] - 2) // 2
+                    fn = step_fn if F_c == st.F else self._step_fn(
+                        dataclasses.replace(st, F=F_c)
+                    )
                 batch = shard_batch(batch, self.mesh)
                 key = jax.random.PRNGKey(self.rng.integers(0, 2**63))
-                self.state, metrics = step_fn(self.state, batch, key)
+                self.state, metrics = fn(self.state, batch, key)
                 global_step += 1
                 seen += cfg.optim.batch_size
 
@@ -278,8 +295,20 @@ class Trainer:
                         f"e{epoch} b{bi} loss {m['loss']:.4f} | {rate:5.1f} imgs/s | "
                         f"elapsed {sec_to_hm_str(elapsed)}"
                     )
+                    if cfg.log.image_panels and self.process_count == 1:
+                        self.save_image_panels(st, batch, key, global_step)
                     if self.gt_depths is not None:
-                        self.validate(st, global_step, epoch, bi)
+                        self.validate(
+                            st, global_step, epoch, bi,
+                            quick=cfg.log.quick_val_size,
+                        )
+                    if cfg.log.syns_val:
+                        self.validate_syns(global_step)
+
+            # full validation at every epoch end (quick-val only subsamples
+            # the in-epoch checks)
+            if self.is_lead and self.gt_depths is not None:
+                self.validate(st, global_step, epoch, -1)
 
             if (epoch + 1) % cfg.log.save_frequency == 0 and self.is_lead:
                 self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch})
@@ -288,24 +317,37 @@ class Trainer:
         self.logger.close()
 
     # ------------------------------------------------------------------
-    def validate(self, st: StepStatic, global_step: int, epoch: int, bi: int):
-        """Online eigen_zhou validation (reference val(), trainer.py:623-665)."""
+    def validate(self, st: StepStatic, global_step: int, epoch: int, bi: int,
+                 quick: int = 0):
+        """Online eigen_zhou validation (reference val(), trainer.py:623-665).
+
+        quick > 0 subsamples the val split to that many images (even
+        stride) for the in-epoch checks -- the reference runs all 4,424
+        every log_frequency batches, which on a ~25 ms/dispatch tunnel
+        would dominate wall-clock. The epoch-end call always runs full.
+        """
         import cv2
 
         if st.zoo not in self._eval_fns:
             self._eval_fns[st.zoo] = make_eval_forward(st)
         fwd = self._eval_fns[st.zoo]
 
+        val_paths, gt_depths = self.val_paths, self.gt_depths
+        if quick and quick < len(val_paths):
+            sel = np.linspace(0, len(val_paths) - 1, quick).astype(int)
+            val_paths = [val_paths[i] for i in sel]
+            gt_depths = [gt_depths[i] for i in sel]
+
         totals = np.zeros(len(METRIC_NAMES))
         count = 0
         loader = EvalLoader(
-            self.val_paths, self.cfg.data.height, self.cfg.data.width, batch_size=16
+            val_paths, self.cfg.data.height, self.cfg.data.width, batch_size=16
         )
         params, stats = self.state.params, self.state.stats
         for imgs, start, n in loader:
             depth = np.asarray(jax.device_get(fwd(params, stats, imgs.astype(np.float32) / 255.0)))
             for j in range(n):
-                gt = self.gt_depths[start + j]
+                gt = gt_depths[start + j]
                 pred = cv2.resize(depth[j], (gt.shape[1], gt.shape[0]))
                 totals += np.array(single_image_errors(pred, gt))
                 count += 1
@@ -320,3 +362,61 @@ class Trainer:
                 {"epoch": epoch, "abs_rel": vals["abs_rel"], "best": True},
             )
             print(f"new best abs_rel {vals['abs_rel']:.4f} -> checkpoint saved")
+
+    # ------------------------------------------------------------------
+    def validate_syns(self, global_step: int):
+        """SYNS edge-accuracy online validation (reference trainer.py:646-663,
+        its --SYNS_edge path), over the SYNS val split."""
+        try:
+            from baseboostdepth_tpu.evaluation.syns import evaluate_syns
+
+            m = evaluate_syns(
+                self.cfg, self.state.params, self.state.stats,
+                file_name="val_files.txt",
+            )
+        except FileNotFoundError as e:
+            print(f"[syns-val] skipped (missing asset: {e})")
+            return
+        self.logger.log(global_step, {f"syns/{k}": v for k, v in m.items()})
+        print("syns-val:", " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+    # ------------------------------------------------------------------
+    def save_image_panels(self, st: StepStatic, batch, rng, global_step: int,
+                          max_rows: int = 3):
+        """Write a target | disp | automask | min-loss | warped-candidates
+        grid PNG for the current train batch (the observability the
+        reference gets from wandb image logging, trainer.py:736-772)."""
+        from PIL import Image
+
+        from baseboostdepth_tpu.utils import colormap
+
+        key = ("dbg", st)
+        if key not in self._eval_fns:
+            self._eval_fns[key] = make_debug_forward(st)
+        dbg = jax.device_get(
+            self._eval_fns[key](self.state.params, self.state.stats, batch, rng)
+        )
+
+        rows = []
+        n = min(max_rows, dbg["target"].shape[0])
+        for b in range(n):
+            cells = [np.asarray(dbg["target"][b])]
+            disp = np.asarray(dbg["disp"][b], np.float32)
+            cells.append(colormap(disp, cmap="magma"))
+            am = np.asarray(dbg["automask"][b], np.float32)
+            cells.append(np.repeat(am[..., None], 3, axis=-1))
+            ml = np.asarray(dbg["min_loss"][b], np.float32)
+            cells.append(colormap(np.clip(ml, 0, np.percentile(ml, 98) + 1e-8)))
+            S = dbg["warped"].shape[1]
+            for s in (0, S - 1):  # farthest temporal slot + stereo
+                cells.append(np.asarray(dbg["warped"][b, s]))
+            rows.append(np.concatenate(cells, axis=1))
+        panel = (np.clip(np.concatenate(rows, axis=0), 0, 1) * 255).astype(np.uint8)
+        out_dir = os.path.join(self.log_path, "panels")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"step_{global_step:08d}.png")
+        Image.fromarray(panel).save(path)
+        if self.logger._wandb is not None:
+            self.logger._wandb.log(
+                {"panels": self.logger._wandb.Image(path)}, step=global_step
+            )

@@ -77,6 +77,27 @@ def test_trainer_one_epoch_and_resume(tiny_kitti):
     tr.validate(st, 1, 0, 0)
     assert tr.best_abs_rel < 10.0
 
+    # quick-val subsampling path (weak-item 8: tunnel-friendly periodic val)
+    tr.validate(st, 1, 0, 0, quick=1)
+
+    # image panels (reference wandb image logging, trainer.py:736-772)
+    import jax
+
+    from baseboostdepth_tpu.data.curriculum import stage_for_epoch
+    from baseboostdepth_tpu.data.loader import KittiTrainLoader
+    from baseboostdepth_tpu.parallel import shard_batch
+
+    loader = KittiTrainLoader(
+        tr.train_index, stage_for_epoch(0, cfg.method.trimin),
+        cfg.optim.batch_size, cfg.data.height, cfg.data.width,
+        trimin=True, use_stereo=True, num_workers=2, seed=0, use_native=False,
+    )
+    batch = shard_batch(next(iter(loader)), tr.mesh)
+    tr.save_image_panels(st, batch, jax.random.PRNGKey(0), 123)
+    assert os.path.exists(
+        os.path.join(logs, "e2e", "panels", "step_00000123.png")
+    )
+
     # metrics logged, checkpoint saved
     metrics_file = os.path.join(logs, "e2e", "metrics.jsonl")
     ckpt_dir = os.path.join(logs, "e2e", "checkpoints")
