@@ -50,6 +50,7 @@ def slot_losses(
     slot_valid: jax.Array,
     use_ssim: bool = True,
     photo_fn=None,
+    impl: str = "auto",
 ) -> jax.Array:
     """Photometric loss of each slot image against the shared target.
 
@@ -70,7 +71,7 @@ def slot_losses(
     if photo_fn is not None:
         pe = photo_fn(flat_pred, flat_tgt)[..., 0]
     else:
-        pe = reprojection_loss(flat_pred, flat_tgt, use_ssim=use_ssim)[..., 0]
+        pe = reprojection_loss(flat_pred, flat_tgt, use_ssim=use_ssim, impl=impl)[..., 0]
     pe = pe.reshape(B, S, *pe.shape[1:])
     return jnp.where(slot_valid[:, :, None, None], pe, _MASKED)
 

@@ -75,6 +75,14 @@ class StepStatic:
     loss_norm_scales: int = 4
     dtype: str = "float32"
     warp_impl: str = "auto"  # auto | pallas | xla
+    # photometric backend: the fused Pallas kernel is ~2.7x the XLA
+    # reduce_window formulation standalone (15.3 vs 41.1 ms fwd+grad at
+    # late-stage volume) but measured SLOWER inside the full step (262.7 vs
+    # 248.9 ms -- the custom call blocks producer/consumer fusion with the
+    # warp outputs and candidate min and adds planar pad/transpose
+    # traffic), so the step defaults to XLA. Revisit with a warp+photo
+    # megakernel.
+    photo_impl: str = "xla"  # xla | fused
 
     @property
     def metric_depth(self) -> bool:
@@ -384,21 +392,28 @@ def loss_forward(
     multi_dev = mesh is not None and mesh.devices.size > 1
 
     photo_fn = None
-    if multi_dev and st.use_ssim and jax.default_backend() == "tpu":
-        from jax.sharding import PartitionSpec as _P
-
+    use_fused_photo = (
+        st.photo_impl == "fused" and st.use_ssim and jax.default_backend() == "tpu"
+    )
+    if use_fused_photo:
         from baseboostdepth_tpu.ops.ssim_pallas import reprojection_loss_fused
 
-        photo_fn = jax.shard_map(
-            lambda p, t: reprojection_loss_fused(p, t, False),
-            mesh=mesh,
-            in_specs=(_P("data"), _P("data")),
-            out_specs=_P("data"),
-            check_vma=False,
-        )
+        if multi_dev:
+            from jax.sharding import PartitionSpec as _P
+
+            photo_fn = jax.shard_map(
+                lambda p, t: reprojection_loss_fused(p, t, False),
+                mesh=mesh,
+                in_specs=(_P("data"), _P("data")),
+                out_specs=_P("data"),
+                check_vma=False,
+            )
+        else:
+            photo_fn = lambda p, t: reprojection_loss_fused(p, t, False)
 
     ident_l = losses.slot_losses(
-        target, sources, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn
+        target, sources, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn,
+        impl="xla",
     )
     noise = jax.random.normal(noise_key, (B, 1, H, W)) * 1e-5
 
@@ -451,7 +466,8 @@ def loss_forward(
 
         warped = warp_all(depth, T_slots)
         warp_l = losses.slot_losses(
-            target, warped, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn
+            target, warped, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn,
+            impl="xla",
         )
 
         err_l = None
@@ -459,7 +475,7 @@ def loss_forward(
             warped_e = warp_all(depth, T_err)
             err_l = losses.slot_losses(
                 target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim,
-                photo_fn=photo_fn,
+                photo_fn=photo_fn, impl="xla",
             )
 
         min_l = losses.min_reprojection(warp_l, ident_l, noise, err_l)

@@ -117,6 +117,19 @@ class TestSynsEvalE2E:
         for k in ("abs_rel", "edge_acc", "edge_comp", "f1", "iou"):
             assert k in res and np.isfinite(res[k]), res
 
+        # online-validation variant (reference trainer.py:646-663, the
+        # --SYNS_edge path): val split + *_val.npz GT sidecars
+        splits.joinpath("val_files.txt").write_text(lines[0] + "\n")
+        np.savez_compressed(
+            splits / "gt_depths_val.npz", data=np.array(gt_d[:1], dtype=object)
+        )
+        np.savez_compressed(
+            splits / "gt_edges_val.npz", data=np.array(gt_e[:1], dtype=object)
+        )
+        res_val = evaluate_syns(cfg, s.params, s.stats, file_name="val_files.txt")
+        for k in ("abs_rel", "edge_acc", "edge_comp"):
+            assert k in res_val and np.isfinite(res_val[k]), res_val
+
 
 class TestPoseEvalE2E:
     def test_evaluate_odometry_runs(self, state, tmp_path):

@@ -72,8 +72,9 @@ def main():
     t = timeit(depth_train, v["params"], v["batch_stats"], x, iters=args.iters)
     print(f"depth fwd+bwd (B={B}):           {t*1e3:8.1f} ms")
 
-    # ---- 2. pose net fwd+bwd at the full-pair batch (26 pairs) ----
-    P = 26
+    # ---- 2. pose net fwd+bwd at the full-pair batch (18 pairs since the
+    # round-2 slot-pair compaction: 2F step + 4 slot-direct) ----
+    P = 18
     pose = build_pose_net(dtype=cdt)
     px = jnp.asarray(rng.random((B * P, H, W, 6)).astype(np.float32))
     pv = pose.init(key, px[:1], train=False)
@@ -88,7 +89,11 @@ def main():
     t = timeit(pose_train, pv["params"], pv["batch_stats"], px, iters=args.iters)
     print(f"pose fwd+bwd (B*P={B*P}):        {t*1e3:8.1f} ms")
 
-    # ---- 3. warps: 13 slots of grid + bilinear sample, fwd+bwd ----
+    # ---- 3. warps: 13 slots of grid + packed Pallas sample, fwd+bwd, with
+    # KITTI-scale ego-motion (the band sweep is data-dependent; identity
+    # poses flatter the kernel -- round-1 VERDICT weak item 6) ----
+    from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas_u8
+
     S = 13
     depth_map = jnp.asarray(rng.uniform(2, 60, (B, H, W)).astype(np.float32))
     K = np.broadcast_to(
@@ -97,12 +102,29 @@ def main():
     ).copy()
     Kj = jnp.asarray(K)
     iKj = jnp.asarray(np.linalg.inv(K))
-    Ts = jnp.broadcast_to(jnp.eye(4), (B * S, 4, 4)) + 0.0
-    src = jnp.asarray(rng.random((B * S, H, W, 3)).astype(np.float32))
-    tgt = jnp.asarray(rng.random((B, 1, H, W, 3)).astype(np.float32))
+    Ts_np = np.broadcast_to(np.eye(4, dtype=np.float32), (B * S, 4, 4)).copy()
+    # translations up to +-7 chained steps of ~0.1 fwd + lateral jitter
+    Ts_np[:, 0, 3] = rng.uniform(-0.15, 0.15, B * S)
+    Ts_np[:, 1, 3] = rng.uniform(-0.05, 0.05, B * S)
+    Ts_np[:, 2, 3] = rng.uniform(-0.7, 0.7, B * S)
+    Ts = jnp.asarray(Ts_np)
+    src_u8 = jnp.asarray(rng.integers(0, 255, (B * S, H, W, 3), dtype=np.uint8))
+    src = src_u8.astype(jnp.float32) / 255.0
 
     @jax.jit
-    def warp_train(depth_map, Ts, src):
+    def warp_train(depth_map, Ts):
+        def loss(d):
+            dr = jnp.broadcast_to(d[:, None], (B, S, H, W)).reshape(B * S, H, W)
+            grid = geometry.warp_grid(dr, jnp.repeat(Kj, S, 0), jnp.repeat(iKj, S, 0), Ts)
+            w = bilinear_sample_pallas_u8(src_u8, grid).reshape(B, S, H, W, 3)
+            return jnp.mean(w)
+        return jax.grad(loss)(depth_map)
+
+    t = timeit(warp_train, depth_map, Ts, iters=args.iters)
+    print(f"warp grid+packed x{S} fwd+bwd:   {t*1e3:8.1f} ms (realistic T)")
+
+    @jax.jit
+    def warp_train_xla(depth_map, Ts):
         def loss(d):
             dr = jnp.broadcast_to(d[:, None], (B, S, H, W)).reshape(B * S, H, W)
             grid = geometry.warp_grid(dr, jnp.repeat(Kj, S, 0), jnp.repeat(iKj, S, 0), Ts)
@@ -110,8 +132,28 @@ def main():
             return jnp.mean(w)
         return jax.grad(loss)(depth_map)
 
-    t = timeit(warp_train, depth_map, Ts, src, iters=args.iters)
-    print(f"warp grid+sample x{S} fwd+bwd:   {t*1e3:8.1f} ms")
+    t = timeit(warp_train_xla, depth_map, Ts, iters=args.iters)
+    print(f"warp grid+xla    x{S} fwd+bwd:   {t*1e3:8.1f} ms (realistic T)")
+
+    # ---- 3b. device-side augmentation (flip + jitter + pyramid) ----
+    from baseboostdepth_tpu.data.augment import apply_flip, color_jitter
+    from baseboostdepth_tpu.ops.resize import lanczos_pyramid
+
+    NF = 16
+    frames_u8 = jnp.asarray(rng.integers(0, 255, (B, NF, H, W, 3), dtype=np.uint8))
+    flip = jnp.asarray(rng.random(B) > 0.5)
+    jit_p = jnp.asarray(rng.random((B, NF, 4)).astype(np.float32) * 0.2 + 0.9)
+
+    @jax.jit
+    def aug(frames_u8, flip, jit_p):
+        fr = apply_flip(frames_u8, flip)
+        color = fr.astype(jnp.float32) / 255.0
+        a = color_jitter(color, jit_p)
+        pyr = lanczos_pyramid(color[:, NF // 2 - 1], num_scales=1)
+        return a[:, 0].sum() + pyr[0].sum()
+
+    t = timeit(aug, frames_u8, flip, jit_p, iters=args.iters)
+    print(f"augmentation (NF={NF}):          {t*1e3:8.1f} ms")
 
     # ---- 4. photometric (SSIM+L1) over 20 candidates fwd+bwd ----
     C = 20
