@@ -23,6 +23,10 @@ class ModelConfig:
     pretrained_path: Optional[str] = None  # torchvision/MPViT .pth to import
     dtype: str = "bfloat16"  # conv/attention compute dtype (params, losses,
     # geometry and BN statistics stay float32); set float32 for bit-parity runs
+    # performance mode: pose net on downscaled pairs (1.0 = reference
+    # behavior; 0.5 cuts the dominant step component ~4x -- a documented
+    # divergence, quantify on the synthetic benchmark before using)
+    pose_input_scale: float = 1.0
 
 
 @dataclass

@@ -76,6 +76,8 @@ def color_jitter(img: jax.Array, params: jax.Array) -> jax.Array:
       params: [..., 4] broadcastable factors (b, c, s) multiplicative around
         1.0 and hue shift h in [-0.5, 0.5]. (1, 1, 1, 0) is identity.
     """
+    dt = img.dtype
+    params = params.astype(dt)
     b = params[..., 0][..., None, None, None]
     c = params[..., 1][..., None, None, None]
     s = params[..., 2][..., None, None, None]
@@ -83,7 +85,7 @@ def color_jitter(img: jax.Array, params: jax.Array) -> jax.Array:
 
     x = jnp.clip(img * b, 0.0, 1.0)
 
-    gray = jnp.einsum("...c,c->...", x, _LUMA)[..., None]
+    gray = jnp.einsum("...c,c->...", x, _LUMA.astype(dt))[..., None]
     mean_gray = jnp.mean(gray, axis=(-3, -2), keepdims=True)
     x = jnp.clip(x * c + mean_gray * (1.0 - c), 0.0, 1.0)
 

@@ -83,6 +83,11 @@ class StepStatic:
     # traffic), so the step defaults to XLA. Revisit with a warp+photo
     # megakernel.
     photo_impl: str = "xla"  # xla | fused
+    # performance mode (OFF by default -- a documented divergence when on):
+    # run the pose network on bilinearly downscaled pairs. The pose stack is
+    # the largest step component (~81 ms of ~248 at F=7); 0.5 cuts its FLOPs
+    # 4x. The reference always uses full resolution (trainer.py:348-418).
+    pose_input_scale: float = 1.0
 
     @property
     def metric_depth(self) -> bool:
@@ -304,6 +309,12 @@ def predict_poses(
 
     P = pairs.shape[1]
     flat = pairs.reshape((B * P, H, W, 6)).astype(cdt)
+    if st.pose_input_scale != 1.0:
+        from baseboostdepth_tpu.ops.resize import resize_bilinear
+
+        ph = int(round(H * st.pose_input_scale / 32)) * 32
+        pw = int(round(W * st.pose_input_scale / 32)) * 32
+        flat = resize_bilinear(flat, ph, pw)
     pvars = {"params": pose_params, "batch_stats": pose_stats}
     if train:
         (aa, t), pmut = pose_net.apply(pvars, flat, train=True, mutable=["batch_stats"])
@@ -345,10 +356,12 @@ def loss_forward(
     is_u8 = frames.dtype == jnp.uint8
     frames = apply_flip(frames, batch["flip"])
     color = frames.astype(jnp.float32) / 255.0 if is_u8 else frames
-    aug = color_jitter(color, batch["jitter"])
 
     B = color.shape[0]
     cdt = st.compute_dtype
+    # (measured: running the jitter in bf16 does not change the step time
+    # -- XLA fuses it into its consumers -- so it stays fp32 for fidelity)
+    aug = color_jitter(color, batch["jitter"])
 
     # ---- depth forward on the augmented target frame ----
     dvars = {"params": params["depth"], "batch_stats": stats["depth"]}

@@ -174,6 +174,7 @@ class Trainer:
                 max_depth=m.max_depth,
                 smooth_weight=m.disparity_smoothness,
                 dtype=cfg.model.dtype,
+                pose_input_scale=cfg.model.pose_input_scale,
             )
         return StepStatic(
             zoo=cfg.model.zoo,
@@ -192,6 +193,7 @@ class Trainer:
             max_depth=m.max_depth,
             smooth_weight=m.disparity_smoothness,
             dtype=cfg.model.dtype,
+            pose_input_scale=cfg.model.pose_input_scale,
         )
 
     def _step_fn(self, st: StepStatic):

@@ -148,12 +148,12 @@ def main():
     def aug(frames_u8, flip, jit_p):
         fr = apply_flip(frames_u8, flip)
         color = fr.astype(jnp.float32) / 255.0
-        a = color_jitter(color, jit_p)
+        a = color_jitter(color.astype(cdt), jit_p)
         pyr = lanczos_pyramid(color[:, NF // 2 - 1], num_scales=1)
-        return a[:, 0].sum() + pyr[0].sum()
+        return a[:, 0].astype(jnp.float32).sum() + pyr[0].sum()
 
     t = timeit(aug, frames_u8, flip, jit_p, iters=args.iters)
-    print(f"augmentation (NF={NF}):          {t*1e3:8.1f} ms")
+    print(f"augmentation (NF={NF}, {args.dtype}): {t*1e3:8.1f} ms")
 
     # ---- 4. photometric (SSIM+L1) over 20 candidates fwd+bwd ----
     C = 20
