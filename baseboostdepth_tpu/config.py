@@ -48,6 +48,10 @@ class MethodConfig:
     disparity_smoothness: float = 1e-3
     no_ssim: bool = False
     frame_ids: Tuple[int, ...] = (0, -1, 1)  # classic mode (curriculum=False)
+    # cold-start disparity-head bias (sigmoid logit; None = reference
+    # zero-bias init). -2.2 starts depth ~5 m and avoids the
+    # constant-depth plateau (see training/step.py init_disp_bias)
+    disp_init_bias: Optional[float] = None
     # curriculum schedule (reference mono_dataset.py:61-66):
     #   epoch < switch: F = 2 (trimin) / 1, cutoff = 0.1 + 0.04 * epoch
     #   epoch >= switch: F = 7 (trimin) / 5, cutoff = 0.15 * epoch - 0.9

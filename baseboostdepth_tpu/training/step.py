@@ -264,6 +264,31 @@ def slot_poses(
     return T_slot, T_err
 
 
+def init_disp_bias(params, value: float):
+    """Set every disparity-head conv bias to `value` (a sigmoid logit).
+
+    Cold-start aid, OFF unless configured (the reference keeps torch's
+    zero bias): sigmoid(0) = 0.5 puts the initial depth at ~0.2 units
+    (disp_to_depth with 0.1/100 bounds), far below typical scene depth, so
+    every warp candidate loses the min to the identity candidates and the
+    depth gradient vanishes -- training sits on a constant-depth plateau
+    until the scale slowly climbs (observed on the synthetic benchmark:
+    bf16 escaped at step ~420; an fp32 run stayed flat for 2160 steps).
+    value = -2.2 starts depth around 1 unit (~5 m KITTI scale).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    out = {}
+    for k, v in flat.items():
+        path = "/".join(str(p) for p in k).lower()
+        if "dispconv" in path and k[-1] == "bias":
+            out[k] = jnp.full_like(v, value)
+        else:
+            out[k] = v
+    return flax.traverse_util.unflatten_dict(out)
+
+
 def predict_poses(
     st: StepStatic,
     pose_net,

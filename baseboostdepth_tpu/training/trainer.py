@@ -133,6 +133,15 @@ class Trainer:
 
         st0 = self._static_for_stage(stage_for_epoch(0, cfg.method.trimin))
         self.state = init_state(st0, self.optimizer, jax.random.PRNGKey(cfg.seed))
+        if cfg.method.disp_init_bias is not None:
+            from baseboostdepth_tpu.training.step import init_disp_bias
+
+            self.state = self.state.replace(
+                params=dict(
+                    self.state.params,
+                    depth=init_disp_bias(self.state.params["depth"], cfg.method.disp_init_bias),
+                )
+            )
         if cfg.model.weights_init == "pretrained" and cfg.model.pretrained_path:
             from baseboostdepth_tpu.models.torch_import import load_pretrained_encoder
 

@@ -361,6 +361,38 @@ def test_vit_optimizer_grouping():
     assert abs(pose - dec) / dec < 0.2   # pose encoder is NOT the depth encoder
 
 
+def test_disp_init_bias():
+    """Cold-start bias touches exactly the dispconv biases and moves the
+    initial depth from ~0.2 to ~1 unit (see step.init_disp_bias)."""
+    from baseboostdepth_tpu import geometry
+    from baseboostdepth_tpu.training.step import init_disp_bias, make_eval_forward
+
+    st = StepStatic(zoo="md2", height=H, width=W, F=1, scales=(0,))
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    new_depth = init_disp_bias(state.params["depth"], -2.2)
+
+    changed = unchanged = 0
+    flat_old = jax.tree_util.tree_flatten_with_path(state.params["depth"])[0]
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(new_depth)[0])
+    for path, old in flat_old:
+        new = flat_new[path]
+        p = "/".join(str(x) for x in path).lower()
+        if "dispconv" in p and "bias" in p:
+            assert np.allclose(np.asarray(new), -2.2)
+            changed += 1
+        else:
+            np.testing.assert_array_equal(np.asarray(new), np.asarray(old))
+            unchanged += 1
+    assert changed == 4 and unchanged > 10, (changed, unchanged)
+
+    state = state.replace(params=dict(state.params, depth=new_depth))
+    fwd = make_eval_forward(st)
+    img = jnp.full((1, H, W, 3), 0.5, jnp.float32)
+    depth = np.asarray(fwd(state.params, state.stats, img))
+    assert 0.5 < float(np.median(depth)) < 2.5, float(np.median(depth))
+
+
 def test_classic_monodepth2_mode():
     """curriculum=False: frames [0,-1,1,'s'], joint min over temporal+stereo
     candidates, no trimin/decomp."""

@@ -92,6 +92,8 @@ def main():
     ap.add_argument("--switch-epoch", type=int, default=6)
     ap.add_argument("--batch-size", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--disp-bias", type=float, default=None,
+                    help="cold-start disparity-head bias (method.disp_init_bias)")
     args = ap.parse_args()
 
     from baseboostdepth_tpu.utils.jax_setup import setup_jax
@@ -120,7 +122,9 @@ def main():
         sorted({max(1, round(m * scale)) for m in cfg.optim.lr_milestones})
     )
     cfg.method.curriculum_switch_epoch = args.switch_epoch
-    cfg.log.model_name = f"synth_bench_{args.dtype}"
+    cfg.method.disp_init_bias = args.disp_bias
+    suffix = "" if args.disp_bias is None else f"_bias{args.disp_bias}"
+    cfg.log.model_name = f"synth_bench_{args.dtype}{suffix}"
     cfg.log.log_frequency = 10**9  # no online val; we evaluate at the end
     cfg.seed = args.seed
 
