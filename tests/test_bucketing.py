@@ -96,6 +96,48 @@ def test_bucketed_plans_match_unbucketed(kitti_tree):
     assert len(classes) >= 2, classes
 
 
+@pytest.mark.slow
+def test_bucketed_batches_train_with_shared_state(kitti_tree):
+    """The trainer wiring contract: one TrainState steps under a per-class
+    jit specialization (StepStatic with F=F_c) for every bucketed batch --
+    params/opt state are F-independent (the decoder owns all heads)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step
+
+    root, split = kitti_tree
+    index = kitti.KittiRawIndex(root, split)
+    stage = stage_for_epoch(14, trimin=True)
+    loader = KittiTrainLoader(
+        index, stage, batch_size=2, height=64, width=160, trimin=True,
+        use_stereo=True, num_workers=2, seed=5, use_native=False,
+        bucket_fs=(2, 5, 7),
+    )
+    st = StepStatic(
+        zoo="md2", height=64, width=160, F=7, scales=(0,), trimin=True,
+        incremental=True, partial=True, decomp=True,
+    )
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    fns = {}
+    classes_run = set()
+    for batch in loader:
+        F_c = (batch["frames"].shape[1] - 2) // 2
+        st_c = st if F_c == st.F else dataclasses.replace(st, F=F_c)
+        if st_c not in fns:
+            fns[st_c] = make_train_step(st_c, opt)
+        state, metrics = fns[st_c](state, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(F_c))
+        assert np.isfinite(float(metrics["loss"]))
+        classes_run.add(F_c)
+        if len(classes_run) >= 2 and len(fns) >= 2:
+            break
+    assert len(classes_run) >= 2, classes_run
+
+
 def test_bucketed_process_slices_partition(kitti_tree):
     """Bucketing composes with multi-host slicing: the union of both
     processes' bucketed batches equals the single-process bucketed run."""

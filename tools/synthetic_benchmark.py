@@ -104,8 +104,9 @@ def main():
     from baseboostdepth_tpu.data.curriculum import stage_for_epoch
     from baseboostdepth_tpu.training.trainer import Trainer
 
+    scene_root = args.root if args.seed == 0 else f"{args.root}_seed{args.seed}"
     data_path, splits_dir = ensure_scene(
-        args.root, args.n_frames, args.width, args.height, args.seed
+        scene_root, args.n_frames, args.width, args.height, args.seed
     )
 
     cfg = Config()
@@ -124,6 +125,8 @@ def main():
     cfg.method.curriculum_switch_epoch = args.switch_epoch
     cfg.method.disp_init_bias = args.disp_bias
     suffix = "" if args.disp_bias is None else f"_bias{args.disp_bias}"
+    if args.seed != 0:
+        suffix += f"_seed{args.seed}"
     cfg.log.model_name = f"synth_bench_{args.dtype}{suffix}"
     cfg.log.log_frequency = 10**9  # no online val; we evaluate at the end
     cfg.seed = args.seed
