@@ -51,6 +51,42 @@ def test_backward_matches_autodiff():
     assert err < 1e-4, err
 
 
+def test_shard_map_fused_photometric_stays_sharded_and_exact():
+    """Multi-device path: the training step shard_maps the fused kernel over
+    the data axis (a bare pallas_call would be replicated by GSPMD). Values,
+    sharding, and pred-gradients must match the XLA formulation."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    pred, tgt = _data(7)
+    big_pred = jnp.tile(pred, (8, 1, 1, 1))
+    big_tgt = jnp.tile(tgt, (8, 1, 1, 1))
+    pred_s = jax.device_put(big_pred, NamedSharding(mesh, P("data")))
+    tgt_s = jax.device_put(big_tgt, NamedSharding(mesh, P("data")))
+
+    fused = jax.shard_map(
+        lambda p, t: reprojection_loss_fused(p, t, True),
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    out = jax.jit(fused)(pred_s, tgt_s)
+    assert out.sharding.spec == P("data")
+    ref = reprojection_loss(big_pred, big_tgt)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    g_f = jax.grad(lambda p: jnp.sum(jax.jit(fused)(p, tgt_s)))(pred_s)
+    g_r = jax.grad(lambda p: jnp.sum(reprojection_loss(p, big_tgt)))(big_pred)
+    scale = float(jnp.abs(g_r).max()) + 1e-12
+    assert float(jnp.abs(g_f - g_r).max()) / scale < 1e-4
+
+
 def test_backward_edge_rows_cols():
     """Border pixels exercise the reflect-fold adjoint; check them
     explicitly against autodiff."""
