@@ -46,8 +46,12 @@ TILE_W = 128
 # Each grid step processes BLOCK_H output rows across the full width; the
 # kernel loops over (8 x 128) subtiles internally. Fewer, fatter grid steps
 # amortize per-step pipeline overhead (4320 tiny steps measured ~2x slower
-# than the XLA gather; 108 fat steps run the sweep at VPU speed).
-BLOCK_H = 64
+# than the XLA gather; 108 fat steps run the sweep at VPU speed). 64 won
+# the sweep under both identity and KITTI-scale poses; BBD_WARP_BLOCK_H
+# overrides for experiments.
+import os as _os
+
+BLOCK_H = int(_os.environ.get("BBD_WARP_BLOCK_H", "64"))
 
 
 def _tile_indices(px, py):

@@ -271,14 +271,27 @@ class Trainer:
             )
             t_epoch = time.time()
             seen = 0
-            for bi, batch in enumerate(loader):
-                fn = step_fn
+            # one-ahead device prefetch: device_put is async, so the next
+            # batch's host->HBM transfer overlaps the current step's compute
+            # (the host-side decode pipeline is already double-buffered in
+            # the loader; this overlaps the device edge too)
+            def shard_iter():
+                for b in loader:
+                    yield b, shard_batch(b, self.mesh)
+
+            it = shard_iter()
+            pending = next(it, None)
+            bi = -1
+            while pending is not None:
+                host_batch, batch = pending
+                pending = next(it, None)
+                bi += 1
+                fn, st_b = step_fn, st
                 if bucket_fs is not None:
-                    F_c = (batch["frames"].shape[1] - 2) // 2
-                    fn = step_fn if F_c == st.F else self._step_fn(
-                        dataclasses.replace(st, F=F_c)
-                    )
-                batch = shard_batch(batch, self.mesh)
+                    F_c = (host_batch["frames"].shape[1] - 2) // 2
+                    if F_c != st.F:
+                        st_b = dataclasses.replace(st, F=F_c)
+                        fn = self._step_fn(st_b)
                 key = jax.random.PRNGKey(self.rng.integers(0, 2**63))
                 self.state, metrics = fn(self.state, batch, key)
                 global_step += 1
@@ -307,7 +320,7 @@ class Trainer:
                         f"elapsed {sec_to_hm_str(elapsed)}"
                     )
                     if cfg.log.image_panels and self.process_count == 1:
-                        self.save_image_panels(st, batch, key, global_step)
+                        self.save_image_panels(st_b, batch, key, global_step)
                     if self.gt_depths is not None:
                         self.validate(
                             st, global_step, epoch, bi,
