@@ -320,3 +320,53 @@ def materialize_kitti_layout(
         data=np.array([depths[i] for i in val_ids]),
     )
     return root, splits_dir
+
+
+def materialize_odometry_layout(
+    root: str,
+    n_frames: int = 60,
+    width: int = 640,
+    height: int = 192,
+    sequence: int = 9,
+    scene: SyntheticScene | None = None,
+    seed: int = 0,
+) -> Tuple[str, str, str]:
+    """Render the scene as a KITTI-odometry sequence so the REAL pose
+    evaluator (evaluation/pose.py, parity with the reference
+    evaluate_pose.py) runs unchanged against exact GT poses.
+
+    Writes:
+      <root>/sequences/<seq>/image_2/{i:06d}.png
+      <root>/splits/odom/test_files_<seq>.txt
+      <root>/poses/<seq>.txt   (KITTI gt format: flattened cam-to-world
+                                [3,4] per frame)
+    Returns (data_path, splits_dir, gt_poses_path).
+    """
+    from PIL import Image
+
+    from baseboostdepth_tpu.data.kitti import intrinsics
+
+    scene = scene or SyntheticScene(seed=seed)
+    K, _ = intrinsics(width, height)
+    seq_dir = os.path.join(root, "sequences", f"{sequence:02d}", "image_2")
+    os.makedirs(seq_dir, exist_ok=True)
+    split_dir = os.path.join(root, "splits", "odom")
+    os.makedirs(split_dir, exist_ok=True)
+    poses_dir = os.path.join(root, "poses")
+    os.makedirs(poses_dir, exist_ok=True)
+
+    rows = []
+    lines = []
+    for i in range(n_frames):
+        img, _ = scene.render(i, "l", K, width, height)
+        Image.fromarray(img).save(os.path.join(seq_dir, f"{i:06d}.png"))
+        # cam-to-world: x_w = R_i^T x_c + C_i
+        R = scene.camera_rotation(i)
+        C = scene.camera_center(i)
+        rows.append(np.hstack([R.T, C[:, None]]).reshape(-1))
+        lines.append(f"{sequence:02d} {i} l")
+    gt_path = os.path.join(poses_dir, f"{sequence:02d}.txt")
+    np.savetxt(gt_path, np.array(rows))
+    with open(os.path.join(split_dir, f"test_files_{sequence:02d}.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return root, os.path.join(root, "splits"), gt_path

@@ -97,6 +97,36 @@ class TestSceneConsistency:
         assert depth.max() / depth.min() > 5
 
 
+class TestOdometryLayout:
+    def test_gt_poses_match_training_convention(self, tmp_path):
+        """The materialized KITTI-odometry gt file must reproduce the
+        scene's training-side pose convention: the evaluator's local GT
+        pose inv(inv(g[i]) @ g[i+1]) == scene.pose_0_to_f(i+1, base=i)."""
+        from baseboostdepth_tpu.data.synthetic import materialize_odometry_layout
+        from baseboostdepth_tpu.evaluation.pose import local_gt_poses
+
+        scene = SyntheticScene(seed=2)
+        root, splits_dir, gt_path = materialize_odometry_layout(
+            str(tmp_path), n_frames=10, width=96, height=64, scene=scene,
+        )
+        gt = np.loadtxt(gt_path).reshape(-1, 3, 4)
+        assert gt.shape[0] == 10
+        gt_global = np.concatenate([gt, np.zeros((len(gt), 1, 4))], axis=1)
+        gt_global[:, 3, 3] = 1
+        local = local_gt_poses(gt_global, skip_frame=1)
+        for i in range(9):
+            expected = scene.pose_0_to_f(i + 1, base=i)
+            np.testing.assert_allclose(local[i], expected, atol=1e-6)
+        import os
+
+        assert os.path.exists(
+            os.path.join(splits_dir, "odom", "test_files_09.txt")
+        )
+        assert os.path.exists(
+            os.path.join(root, "sequences", "09", "image_2", "000003.png")
+        )
+
+
 class TestMaterializedLayout:
     def test_layout_feeds_the_real_pipeline(self, tmp_path):
         from baseboostdepth_tpu.data import kitti

@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--disp-bias", type=float, default=None,
                     help="cold-start disparity-head bias (method.disp_init_bias)")
+    ap.add_argument("--pose-scale", type=float, default=1.0,
+                    help="model.pose_input_scale (perf mode; quantify here)")
     args = ap.parse_args()
 
     from baseboostdepth_tpu.utils.jax_setup import setup_jax
@@ -124,7 +126,10 @@ def main():
     )
     cfg.method.curriculum_switch_epoch = args.switch_epoch
     cfg.method.disp_init_bias = args.disp_bias
+    cfg.model.pose_input_scale = args.pose_scale
     suffix = "" if args.disp_bias is None else f"_bias{args.disp_bias}"
+    if args.pose_scale != 1.0:
+        suffix += f"_ps{args.pose_scale}"
     if args.seed != 0:
         suffix += f"_seed{args.seed}"
     cfg.log.model_name = f"synth_bench_{args.dtype}{suffix}"
