@@ -218,9 +218,15 @@ def _coerce(val: str, current):
     if isinstance(current, float):
         return float(val)
     if current is None:
-        # Optional[...] field: ints where they parse, strings otherwise
-        try:
-            return int(val)
-        except ValueError:
-            return val
+        # Optional[...] field with no current value to infer from: accept
+        # none/null, then numbers narrowest-first, then the raw string
+        # (e.g. --method.disp_init_bias -2.2 must parse as a float)
+        if val.lower() in ("none", "null"):
+            return None
+        for typ in (int, float):
+            try:
+                return typ(val)
+            except ValueError:
+                pass
+        return val
     return val

@@ -62,6 +62,7 @@ class KittiTrainLoader:
         process_index: int = 0,
         process_count: int = 1,
         bucket_fs: Optional[Tuple[int, ...]] = None,
+        skip_batches: int = 0,
     ):
         """batch_size is the GLOBAL batch size. Under multi-host training
         (process_count > 1) every process builds the same shuffled order and
@@ -81,8 +82,19 @@ class KittiTrainLoader:
         loader; only batch composition changes (and with it BatchNorm batch
         statistics -- see README divergence notes). Per-class leftover
         samples at epoch end are dropped (a generalization of drop_last).
+
+        skip_batches: fast-forward over the first N batches of the epoch
+        without decoding any pixels, consuming the identical RNG stream --
+        a mid-epoch checkpoint resume then sees exactly the batches an
+        uninterrupted run would have seen next.
         """
         assert batch_size % process_count == 0, (batch_size, process_count)
+        # multi-process slicing assumes every global batch is exactly
+        # batch_size samples: a ragged final batch would give processes
+        # misaligned slices and truncated seed streams, breaking the
+        # bit-identical global-batch contract
+        if process_count > 1:
+            drop_last = True
         if bucket_fs is not None:
             assert tuple(sorted(bucket_fs)) == tuple(bucket_fs), bucket_fs
             assert bucket_fs[-1] == stage.F, (bucket_fs, stage.F)
@@ -102,6 +114,7 @@ class KittiTrainLoader:
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.skip_batches = skip_batches
         # native C++ batch decoder when built; PIL threads otherwise.
         # The native decoder is JPEG-only -- PNG datasets (--data.png) fall
         # back to PIL.
@@ -121,6 +134,8 @@ class KittiTrainLoader:
         realized augmentation stream is process-count invariant."""
         base = bi * self.batch_size
         gidxs = order[base : base + self.batch_size]
+        assert self.process_count == 1 or len(gidxs) == self.batch_size, (
+            "ragged global batch under multi-process loading", len(gidxs))
         seeds = self.rng.integers(0, 2**63, size=self.batch_size)
         lo = self.process_index * self.local_batch
         hi = lo + self.local_batch
@@ -237,9 +252,12 @@ class KittiTrainLoader:
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self.rng.permutation(len(self.index))
         nb = len(self)
+        skip = self.skip_batches
         if self.bucket_fs is None:
             for bi in range(nb):
                 idxs, seeds = self._local_slice(order, bi)
+                if bi < skip:  # rng stream consumed, no planning/decoding
+                    continue
                 plans = [
                     self._plan_sample(int(i), np.random.default_rng(int(sd)))
                     for i, sd in zip(idxs, seeds)
@@ -253,6 +271,8 @@ class KittiTrainLoader:
         queues: Dict[int, list] = {fc: [] for fc in self.bucket_fs}
         lo = self.process_index * self.local_batch
         hi = lo + self.local_batch
+        emitted = 0  # batches produced so far incl. skipped (plans must be
+        # drawn either way: batch boundaries depend on their window classes)
         for bi in range(nb):
             base = bi * self.batch_size
             gidxs = order[base : base + self.batch_size]
@@ -265,7 +285,9 @@ class KittiTrainLoader:
                 if len(queues[fc]) == self.batch_size:
                     batch_plans = queues[fc]
                     queues[fc] = []
-                    yield self._assemble(batch_plans[lo:hi], fc)
+                    emitted += 1
+                    if emitted > skip:
+                        yield self._assemble(batch_plans[lo:hi], fc)
         # per-class leftovers are dropped (generalized drop_last)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

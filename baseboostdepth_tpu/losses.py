@@ -50,7 +50,7 @@ def slot_losses(
     slot_valid: jax.Array,
     use_ssim: bool = True,
     photo_fn=None,
-    impl: str = "auto",
+    impl: str = "xla",
 ) -> jax.Array:
     """Photometric loss of each slot image against the shared target.
 

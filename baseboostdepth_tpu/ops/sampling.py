@@ -84,11 +84,15 @@ def resolve_warp(impl: str = "auto"):
     """Pick the warp backend: the Pallas kernel on TPU (50x the XLA gather
     there), the XLA formulation elsewhere (CPU tests, virtual meshes)."""
     if impl == "auto":
-        import jax
-
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
+        import functools
+
         from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas
 
+        if jax.default_backend() != "tpu":
+            # explicit pallas off-TPU = interpret mode (tests/dryruns that
+            # want the production kernel path on a CPU mesh)
+            return functools.partial(bilinear_sample_pallas, interpret=True)
         return bilinear_sample_pallas
     return bilinear_sample

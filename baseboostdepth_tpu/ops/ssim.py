@@ -57,20 +57,22 @@ def ssim(x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def reprojection_loss(
-    pred: jax.Array, target: jax.Array, use_ssim: bool = True, impl: str = "auto"
+    pred: jax.Array, target: jax.Array, use_ssim: bool = True, impl: str = "xla"
 ) -> jax.Array:
     """0.85 * SSIM + 0.15 * L1, channel-averaged -> [B, H, W, 1].
 
     Parity: reference trainer.py:477-486 (compute_reprojection_loss).
 
-    impl: "auto" picks the fused Pallas kernel on TPU (one VMEM pass +
-    hand-derived VJP; ~4x the reduce_window formulation), "xla"/"fused"
-    force a backend. NOTE the fused path propagates gradients into `pred`
-    only -- exactly the training semantics (targets are raw camera data) --
-    so force impl="xla" anywhere a differentiable target matters.
+    impl: "xla" (default) is differentiable in BOTH pred and target.
+    "fused" opts into the Pallas kernel (one VMEM pass + hand-derived VJP;
+    ~4x the reduce_window formulation standalone, but it loses XLA
+    producer/consumer fusion in-step) whose VJP returns a ZERO cotangent
+    for `target` -- exactly the training semantics (targets are raw camera
+    data), but wrong for any caller differentiating through the target.
+    "auto" picks fused on TPU and is kept only for benchmarking tools.
     """
     if use_ssim and impl != "xla" and pred.shape[-1] == 3:
-        if impl == "fused" or jax.default_backend() == "tpu":
+        if impl == "fused" or (impl == "auto" and jax.default_backend() == "tpu"):
             from baseboostdepth_tpu.ops.ssim_pallas import reprojection_loss_fused
 
             return reprojection_loss_fused(

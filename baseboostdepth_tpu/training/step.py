@@ -463,12 +463,16 @@ def loss_forward(
     warp_fn = resolve_warp(st.warp_impl)
     use_packed = is_u8 and warp_fn is not bilinear_sample
 
-    packed_warp = bilinear_sample_pallas_u8
+    # off-TPU the Pallas kernels run in interpret mode, so warp_impl="pallas"
+    # exercises the production kernel-under-shard_map path on a CPU mesh
+    # (what the driver's dryrun and tests/test_train_step.py validate)
+    interp = jax.default_backend() != "tpu"
+    packed_warp = lambda i, g: bilinear_sample_pallas_u8(i, g, interpret=interp)
     if use_packed and multi_dev:
         from jax.sharding import PartitionSpec as _P
 
         packed_warp = jax.shard_map(
-            bilinear_sample_pallas_u8,
+            packed_warp,
             mesh=mesh,
             in_specs=(_P("data"), _P("data")),
             out_specs=_P("data"),

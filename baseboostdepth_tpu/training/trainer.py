@@ -86,7 +86,9 @@ class Trainer:
         assert cfg.method.use_stereo or not cfg.method.curriculum, \
             "curriculum training requires use_stereo (as in the reference)"
 
-        split_dir = os.path.join(cfg.data.splits_dir, cfg.data.split)
+        from baseboostdepth_tpu.utils import resolve_splits_dir
+
+        split_dir = os.path.join(resolve_splits_dir(cfg.data.splits_dir), cfg.data.split)
         train_file = os.path.join(split_dir, "train_files_baselines.txt")
         if not os.path.exists(train_file):
             train_file = os.path.join(split_dir, "train_files.txt")
@@ -150,17 +152,38 @@ class Trainer:
 
         self.ckpt = CheckpointManager(os.path.join(self.log_path, "checkpoints"))
         self.start_epoch = 0
+        self.start_batch = 0
+        self.best_abs_rel = 10.0
         latest = self.ckpt.latest_step()
         if latest is not None:
             self.state, extra = self.ckpt.restore(self.state, latest)
-            self.start_epoch = int(latest // max(1, self.steps_per_epoch))
-            print(f"resumed from step {latest} (epoch {self.start_epoch})")
+            extra = extra or {}
+            # resume position comes from checkpoint metadata, not from
+            # latest // steps_per_epoch: best-abs_rel checkpoints land
+            # mid-epoch, and --data.bucket_fs drops per-class leftovers so
+            # realized steps/epoch < steps_per_epoch (the reference replays
+            # epoch + scheduler from its folder name, trainer.py:168-186;
+            # here the optimizer schedule rides the restored state.step)
+            if "epoch" in extra:
+                if extra.get("epoch_complete"):
+                    self.start_epoch = int(extra["epoch"]) + 1
+                else:
+                    self.start_epoch = int(extra["epoch"])
+                    self.start_batch = int(extra.get("batch_in_epoch", -1)) + 1
+            else:  # legacy checkpoints without position metadata
+                self.start_epoch = int(latest // max(1, self.steps_per_epoch))
+            self.best_abs_rel = float(extra.get("best_abs_rel", 10.0))
+            print(
+                f"resumed from step {latest} (epoch {self.start_epoch}, "
+                f"batch {self.start_batch}, best_abs_rel {self.best_abs_rel:.4f})"
+            )
 
         self._step_fns: Dict[StepStatic, object] = {}
         self._eval_fns: Dict[str, object] = {}
         self.logger = MetricLogger(self.log_path, cfg.log.wandb, cfg.to_dict())
-        self.best_abs_rel = 10.0
-        self.rng = np.random.default_rng(cfg.seed)
+        # per-step device RNG is a pure function of (seed, global_step) so a
+        # resumed run replays the exact key stream of an uninterrupted one
+        self._base_key = jax.random.PRNGKey(cfg.seed)
 
     # ------------------------------------------------------------------
     def _static_for_stage(self, stage: Stage) -> StepStatic:
@@ -249,6 +272,7 @@ class Trainer:
                 bucket_fs = tuple(sorted({min(b, stage.F) for b in cfg.data.bucket_fs}))
                 if bucket_fs == (stage.F,):
                     bucket_fs = None
+            skip = self.start_batch if epoch == self.start_epoch else 0
             loader = KittiTrainLoader(
                 self.train_index,
                 stage,
@@ -264,6 +288,7 @@ class Trainer:
                 process_index=self.process_index,
                 process_count=self.process_count,
                 bucket_fs=bucket_fs,
+                skip_batches=skip,
             )
             print(
                 f"epoch {epoch}: F={st.F} scales={st.scales} cutoff={stage.cutoff:.2f} "
@@ -281,7 +306,7 @@ class Trainer:
 
             it = shard_iter()
             pending = next(it, None)
-            bi = -1
+            bi = skip - 1  # batch indices continue the pre-resume count
             while pending is not None:
                 host_batch, batch = pending
                 pending = next(it, None)
@@ -292,14 +317,18 @@ class Trainer:
                     if F_c != st.F:
                         st_b = dataclasses.replace(st, F=F_c)
                         fn = self._step_fn(st_b)
-                key = jax.random.PRNGKey(self.rng.integers(0, 2**63))
+                key = jax.random.fold_in(self._base_key, global_step)
                 self.state, metrics = fn(self.state, batch, key)
                 global_step += 1
                 seen += cfg.optim.batch_size
 
                 if stop_requested["flag"]:
                     if self.is_lead:
-                        self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "preempted": True})
+                        self.ckpt.save(
+                            global_step, jax.device_get(self.state),
+                            {"epoch": epoch, "batch_in_epoch": bi, "preempted": True,
+                             "best_abs_rel": self.best_abs_rel},
+                        )
                         print("emergency checkpoint written; exiting")
                     return
 
@@ -307,7 +336,11 @@ class Trainer:
                     m = {k: float(v) for k, v in jax.device_get(metrics).items()}
                     if not all(map(lambda v: v == v and abs(v) < 1e6, m.values())):
                         if self.is_lead:
-                            self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch, "nan": True})
+                            self.ckpt.save(
+                                global_step, jax.device_get(self.state),
+                                {"epoch": epoch, "batch_in_epoch": bi, "nan": True,
+                                 "best_abs_rel": self.best_abs_rel},
+                            )
                         raise FloatingPointError(f"non-finite loss at step {global_step}: {m}")
                     if not self.is_lead:
                         continue
@@ -335,12 +368,33 @@ class Trainer:
                 self.validate(st, global_step, epoch, -1)
 
             if (epoch + 1) % cfg.log.save_frequency == 0 and self.is_lead:
-                self.ckpt.save(global_step, jax.device_get(self.state), {"epoch": epoch})
+                self.ckpt.save(
+                    global_step, jax.device_get(self.state),
+                    {"epoch": epoch, "epoch_complete": True,
+                     "best_abs_rel": self.best_abs_rel},
+                )
         for sig, h in old_handlers.items():
             signal.signal(sig, h)
         self.logger.close()
 
     # ------------------------------------------------------------------
+    def _local_params(self):
+        """(params, stats) safe to feed a lead-process-only jitted eval.
+
+        Under multi-host training the live state is built of global
+        jax.Arrays spanning every process (NamedSharding over the
+        multi-process mesh); dispatching a computation on those from one
+        process alone deadlocks, so validation pulls fully-replicated
+        host copies first and runs a purely process-local computation.
+        Single-process: the live arrays, no copy.
+        """
+        if self.process_count == 1:
+            return self.state.params, self.state.stats
+        return (
+            jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), self.state.params),
+            jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), self.state.stats),
+        )
+
     def validate(self, st: StepStatic, global_step: int, epoch: int, bi: int,
                  quick: int = 0):
         """Online eigen_zhou validation (reference val(), trainer.py:623-665).
@@ -367,7 +421,7 @@ class Trainer:
         loader = EvalLoader(
             val_paths, self.cfg.data.height, self.cfg.data.width, batch_size=16
         )
-        params, stats = self.state.params, self.state.stats
+        params, stats = self._local_params()
         for imgs, start, n in loader:
             depth = np.asarray(jax.device_get(fwd(params, stats, imgs.astype(np.float32) / 255.0)))
             for j in range(n):
@@ -383,7 +437,9 @@ class Trainer:
             self.ckpt.save(
                 global_step,
                 jax.device_get(self.state),
-                {"epoch": epoch, "abs_rel": vals["abs_rel"], "best": True},
+                {"epoch": epoch, "batch_in_epoch": bi, "epoch_complete": bi < 0,
+                 "abs_rel": vals["abs_rel"], "best": True,
+                 "best_abs_rel": self.best_abs_rel},
             )
             print(f"new best abs_rel {vals['abs_rel']:.4f} -> checkpoint saved")
 
@@ -394,10 +450,8 @@ class Trainer:
         try:
             from baseboostdepth_tpu.evaluation.syns import evaluate_syns
 
-            m = evaluate_syns(
-                self.cfg, self.state.params, self.state.stats,
-                file_name="val_files.txt",
-            )
+            params, stats = self._local_params()
+            m = evaluate_syns(self.cfg, params, stats, file_name="val_files.txt")
         except FileNotFoundError as e:
             print(f"[syns-val] skipped (missing asset: {e})")
             return

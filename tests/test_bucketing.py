@@ -96,6 +96,29 @@ def test_bucketed_plans_match_unbucketed(kitti_tree):
     assert len(classes) >= 2, classes
 
 
+def test_skip_batches_resumes_loader_stream(kitti_tree):
+    """skip_batches=k must yield exactly the batches [k:] of the same-seed
+    loader -- the mid-epoch checkpoint-resume contract (a resumed run sees
+    precisely what an uninterrupted run would have seen next), including
+    under bucket_fs where batch boundaries depend on drawn plans."""
+    root, split = kitti_tree
+    index = kitti.KittiRawIndex(root, split)
+    stage = stage_for_epoch(14, trimin=True)
+    for bucket_fs in (None, (2, 5, 7)):
+        kw = dict(
+            batch_size=2, height=48, width=160, trimin=True, use_stereo=True,
+            num_workers=2, seed=5, use_native=False, bucket_fs=bucket_fs,
+        )
+        full = list(KittiTrainLoader(index, stage, **kw))
+        k = 3
+        resumed = list(KittiTrainLoader(index, stage, skip_batches=k, **kw))
+        assert len(resumed) == len(full) - k, (len(resumed), len(full), bucket_fs)
+        for a, b in zip(full[k:], resumed):
+            assert set(a.keys()) == set(b.keys())
+            for key in a:
+                np.testing.assert_array_equal(a[key], b[key], err_msg=f"{bucket_fs} {key}")
+
+
 @pytest.mark.slow
 def test_bucketed_batches_train_with_shared_state(kitti_tree):
     """The trainer wiring contract: one TrainState steps under a per-class

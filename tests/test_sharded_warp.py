@@ -54,6 +54,63 @@ def test_shard_map_warp_stays_sharded_and_exact(mesh):
     assert float(jnp.abs(g).max()) > 0
 
 
+def _tiny_batch(rng, B, H, W, F):
+    from baseboostdepth_tpu.training.batch import make_batch, num_frames
+
+    NF = num_frames(F)
+    frames = rng.integers(0, 255, (B, NF, H, W, 3), dtype=np.uint8)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = 0.58 * W, 1.92 * H, 0.5 * W, 0.5 * H
+    K = np.broadcast_to(K, (B, 4, 4)).copy()
+    sT = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+    sT[:, 0, 3] = 0.1
+    jit = np.ones((B, NF, 4), np.float32)
+    jit[..., 3] = 0.0
+    return make_batch(frames, np.full(B, 1), K, sT, np.zeros(B, bool), jit, F, True, True)
+
+
+@pytest.mark.slow
+def test_full_step_pallas_under_mesh_matches_unsharded(mesh):
+    """The production sharded step -- Pallas warp shard_map-pinned to the
+    data axis (training/step.py make_train_step mesh arg; interpret mode on
+    CPU) -- must produce the same update as the single-device step. This is
+    the code path the trainer compiles on a real multi-chip mesh
+    (trainer.py _step_fn), so the dryrun/test must cover it, not just the
+    XLA-warp fallback."""
+    import optax
+
+    from baseboostdepth_tpu.parallel import replicate, shard_batch
+    from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step
+
+    H, W, F, B = 32, 64, 1, 8
+    st = StepStatic(zoo="md2", height=H, width=W, F=F, scales=(0,),
+                    trimin=True, decomp=True, dtype="float32",
+                    warp_impl="pallas")
+    opt = optax.adam(1e-4)
+    batch = _tiny_batch(np.random.default_rng(0), B, H, W, F)
+    key = jax.random.PRNGKey(1)
+
+    state_a = init_state(st, opt, jax.random.PRNGKey(0))
+    step_plain = make_train_step(st, opt)
+    state_a, m_a = step_plain(state_a, batch, key)
+
+    state_b = init_state(st, opt, jax.random.PRNGKey(0))
+    state_b = replicate(state_b, mesh)
+    step_mesh = make_train_step(st, opt, mesh=mesh)
+    state_b, m_b = step_mesh(state_b, shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-6)
+    pa = jax.device_get(state_a.params)
+    pb = jax.device_get(state_b.params)
+    flat_a, _ = jax.tree_util.tree_flatten(pa)
+    flat_b, _ = jax.tree_util.tree_flatten(pb)
+    for xa, xb in zip(flat_a, flat_b):
+        # not bitwise: BN batch reductions reassociate under GSPMD sharding
+        # and Adam's normalizer amplifies the fp32 noise (measured max
+        # deviation 1.7e-5 over one update)
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=5e-5)
+
+
 def test_make_train_step_accepts_mesh(mesh):
     """The step builder threads the mesh into the warp wrapper (CPU uses the
     XLA warp path, so this exercises plumbing, not the kernel)."""

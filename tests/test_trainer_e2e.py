@@ -107,3 +107,41 @@ def test_trainer_one_epoch_and_resume(tiny_kitti):
     # resume: a fresh Trainer picks up the checkpoint
     tr2 = Trainer(_config(data, splits, logs))
     assert int(np.asarray(tr2.state.step)) == 1
+
+
+def test_resume_positions_come_from_metadata(tiny_kitti):
+    """Resume must land on the epoch/batch recorded in checkpoint metadata,
+    not on latest_step // steps_per_epoch: best-abs_rel checkpoints are
+    written mid-epoch and bucket_fs drops per-class leftovers, so the step
+    count alone cannot recover the position (VERDICT weak #4; the reference
+    replays epoch + scheduler from its folder name, trainer.py:168-186)."""
+    import jax
+
+    from baseboostdepth_tpu.training.trainer import Trainer
+
+    data, splits, logs = tiny_kitti
+    cfg = _config(data, splits, logs)
+    cfg.log.model_name = "resume_meta"
+    tr = Trainer(cfg)
+
+    # a mid-epoch best-val checkpoint: epoch 1, just finished batch 3.
+    # steps=5 with steps_per_epoch=1 would have (wrongly) put the old
+    # heuristic at epoch 5.
+    tr.ckpt.save(5, jax.device_get(tr.state),
+                 {"epoch": 1, "batch_in_epoch": 3, "best": True,
+                  "abs_rel": 0.42, "best_abs_rel": 0.42})
+    cfg2 = _config(data, splits, logs)
+    cfg2.log.model_name = "resume_meta"
+    tr2 = Trainer(cfg2)
+    assert tr2.start_epoch == 1
+    assert tr2.start_batch == 4  # resumes at the NEXT batch
+    assert abs(tr2.best_abs_rel - 0.42) < 1e-9  # best survives restart
+
+    # an epoch-end checkpoint resumes at the next epoch's first batch
+    tr2.ckpt.save(9, jax.device_get(tr2.state),
+                  {"epoch": 1, "epoch_complete": True, "best_abs_rel": 0.42})
+    cfg3 = _config(data, splits, logs)
+    cfg3.log.model_name = "resume_meta"
+    tr3 = Trainer(cfg3)
+    assert tr3.start_epoch == 2
+    assert tr3.start_batch == 0
