@@ -46,8 +46,10 @@ def main(argv=None):
         from baseboostdepth_tpu.evaluation import metrics as M
 
         disps = np.load(args.ext_disp_to_eval)
+        from baseboostdepth_tpu.utils import resolve_splits_dir
+
         gt = np.load(
-            os.path.join(cfg.data.splits_dir, args.split, "gt_depths.npz"),
+            os.path.join(resolve_splits_dir(cfg.data.splits_dir), args.split, "gt_depths.npz"),
             fix_imports=True, encoding="latin1", allow_pickle=True,
         )["data"]
         protocol = M.EvalProtocol.stereo() if args.stereo else M.EvalProtocol.mono()

@@ -100,7 +100,9 @@ def evaluate_kitti(
         max_depth=cfg.method.max_depth,
         dtype=cfg.model.dtype,
     )
-    split_dir = os.path.join(cfg.data.splits_dir, eval_split)
+    from baseboostdepth_tpu.utils import resolve_splits_dir
+
+    split_dir = os.path.join(resolve_splits_dir(cfg.data.splits_dir), eval_split)
     index = kitti.KittiRawIndex(
         cfg.data.kt_path, os.path.join(split_dir, "test_files.txt"), ".jpg"
     )

@@ -60,7 +60,9 @@ def evaluate_odometry(
     """Returns {'ate_direct', 'ate_direct_std', 'ate_chained',
     'ate_chained_std'} for odometry sequence 09 or 10."""
     H, W = cfg.data.height, cfg.data.width
-    split = os.path.join(cfg.data.splits_dir, "odom", f"test_files_{sequence_id:02d}.txt")
+    from baseboostdepth_tpu.utils import resolve_splits_dir
+
+    split = os.path.join(resolve_splits_dir(cfg.data.splits_dir), "odom", f"test_files_{sequence_id:02d}.txt")
     index = kitti.KittiOdomIndex(cfg.data.kt_path, split)
 
     pose_net = build_pose_net()

@@ -97,7 +97,9 @@ def evaluate_syns(
         min_depth=cfg.method.min_depth, max_depth=cfg.method.max_depth,
         dtype=cfg.model.dtype,
     )
-    split_dir = os.path.join(cfg.data.splits_dir, split)
+    from baseboostdepth_tpu.utils import resolve_splits_dir
+
+    split_dir = os.path.join(resolve_splits_dir(cfg.data.splits_dir), split)
     files = readlines(os.path.join(split_dir, file_name))
     paths = []
     for ln in files:

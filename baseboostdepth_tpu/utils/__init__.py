@@ -1,3 +1,9 @@
 """Small shared utilities (reference utils.py equivalents)."""
 
-from baseboostdepth_tpu.utils.misc import readlines, sec_to_hm_str, normalize_image, colormap  # noqa: F401
+from baseboostdepth_tpu.utils.misc import (  # noqa: F401
+    colormap,
+    normalize_image,
+    readlines,
+    resolve_splits_dir,
+    sec_to_hm_str,
+)

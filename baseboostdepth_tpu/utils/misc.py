@@ -11,6 +11,21 @@ def readlines(path: str):
         return [ln.rstrip("\n") for ln in f if ln.strip()]
 
 
+def resolve_splits_dir(path: str) -> str:
+    """Resolve a splits directory: as given if it exists, else the copy
+    shipped at the repo root (so the default `splits` works from any cwd
+    with zero reference-checkout dependency -- the split txt files ship
+    with this repo; reference splits/*)."""
+    import os
+
+    if os.path.isdir(path) or os.path.isabs(path):
+        return path
+    shipped = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), path
+    )
+    return shipped if os.path.isdir(shipped) else path
+
+
 def sec_to_hm_str(t: float) -> str:
     """10239 -> '02h50m39s'."""
     t = int(t)
