@@ -383,6 +383,353 @@ def monovit_decoder_torch_to_flax(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return params
 
 
+# ---------------------------------------------------------------------------
+# CADepth importer (networksCA checkpoints)
+# ---------------------------------------------------------------------------
+def cadepth_decoder_torch_to_flax(
+    sd: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference CADepth depth.pth -> our CADecoder params/batch_stats.
+
+    Torch layout (networksCA/depth_decoder.py:26-47): ModuleList `decoder`
+    built from an OrderedDict inserted per i=4..0 as [upconv_i0, upconv_i1,
+    dem_i], then dispconv 0..3; SPM is parameter-free. DEM
+    (networksCA/dem.py): conv1 = Sequential(pad, conv, bn, relu) ->
+    conv1.1/conv1.2; global_path = Sequential(pool, conv, relu, conv,
+    sigmoid) -> global_path.1/global_path.3.
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def convblock(dst, idx):
+        params[dst] = {"conv": {"conv": {
+            "kernel": _conv_w(sd[f"decoder.{idx}.conv.conv.weight"]),
+            "bias": sd[f"decoder.{idx}.conv.conv.bias"],
+        }}}
+
+    for i in range(4, -1, -1):
+        base = 3 * (4 - i)
+        convblock(f"upconv_{i}_0", base)
+        convblock(f"upconv_{i}_1", base + 1)
+        d = f"decoder.{base + 2}"
+        params[f"dem_{i}"] = {
+            "conv": {"kernel": _conv_w(sd[d + ".conv1.1.weight"]),
+                     "bias": sd[d + ".conv1.1.bias"]},
+            "bn": {"scale": sd[d + ".conv1.2.weight"], "bias": sd[d + ".conv1.2.bias"]},
+            "gate1": {"kernel": _conv_w(sd[d + ".global_path.1.weight"]),
+                      "bias": sd[d + ".global_path.1.bias"]},
+            "gate2": {"kernel": _conv_w(sd[d + ".global_path.3.weight"]),
+                      "bias": sd[d + ".global_path.3.bias"]},
+        }
+        stats[f"dem_{i}"] = {
+            "bn": {"mean": sd[d + ".conv1.2.running_mean"],
+                   "var": sd[d + ".conv1.2.running_var"]}
+        }
+    for s in range(4):
+        idx = 15 + s
+        params[f"dispconv_{s}"] = {"conv": {
+            "kernel": _conv_w(sd[f"decoder.{idx}.conv.weight"]),
+            "bias": sd[f"decoder.{idx}.conv.bias"],
+        }}
+    return params, stats
+
+
+def import_reference_cadepth(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference CADepth weights_* folder (encoder.pth = ResNet-50,
+    depth.pth = SPM/DEM decoder, + pose pair) into {'depth','pose'}
+    params/stats (reference evaluate_depth.py:160-168 load path)."""
+    import os
+
+    enc_p, enc_s = resnet_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "encoder.pth")), prefix="encoder."
+    )
+    dec_p, dec_s = cadepth_decoder_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "depth.pth"))
+    )
+    pe_p, pe_s = resnet_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "pose_encoder.pth")), prefix="encoder."
+    )
+    pd_p = pose_decoder_torch_to_flax(load_torch_state_dict(os.path.join(folder, "pose.pth")))
+    params = {
+        "depth": {"encoder": enc_p, "decoder": dec_p},
+        "pose": {"encoder": pe_p, "decoder": pd_p},
+    }
+    stats = {
+        "depth": {"encoder": enc_s, "decoder": dec_s},
+        "pose": {"encoder": pe_s},
+    }
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# SQLdepth importer (networksSQL checkpoints)
+# ---------------------------------------------------------------------------
+def sql_encoder_torch_to_flax(
+    sd: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference SQL encoder.pth (ResnetEncoderDecoder,
+    networksSQL/resnet_encoder.py:143-150) -> params/stats for our
+    SQLDepthNet encoder + decoder_bn. Torch layout: encoder.encoder.* =
+    torchvision ResNet-50; decoder.conv2/up{1..4}._net.{0,1,3,4}/conv3 =
+    DecoderBN (the _net Sequential is conv,bn,lrelu,conv,bn,lrelu)."""
+    enc_p, enc_s = resnet_torch_to_flax(sd, prefix="encoder.encoder.")
+
+    dec_p: Dict[str, Any] = {}
+    dec_s: Dict[str, Any] = {}
+    for name in ("conv2", "conv3"):
+        dec_p[name] = {
+            "kernel": _conv_w(sd[f"decoder.{name}.weight"]),
+            "bias": sd[f"decoder.{name}.bias"],
+        }
+    for n in range(1, 5):
+        up: Dict[str, Any] = {}
+        ups: Dict[str, Any] = {}
+        for k, tidx in ((0, 0), (1, 3)):
+            up[f"conv{k}"] = {
+                "kernel": _conv_w(sd[f"decoder.up{n}._net.{tidx}.weight"]),
+                "bias": sd[f"decoder.up{n}._net.{tidx}.bias"],
+            }
+            b = f"decoder.up{n}._net.{tidx + 1}"
+            up[f"bn{k}"] = {"scale": sd[b + ".weight"], "bias": sd[b + ".bias"]}
+            ups[f"bn{k}"] = {"mean": sd[b + ".running_mean"], "var": sd[b + ".running_var"]}
+        dec_p[f"up{n}"] = up
+        dec_s[f"up{n}"] = ups
+    return {"encoder": enc_p, "decoder_bn": dec_p}, {"encoder": enc_s, "decoder_bn": dec_s}
+
+
+def sql_head_torch_to_flax(sd: Dict[str, np.ndarray], num_heads: int = 4) -> Dict[str, Any]:
+    """Reference SQL depth.pth (Lite_Depth_Decoder_QueryTr,
+    networksSQL/lite_depth_decoder_QTR.py:10-31) -> our SQLHead params.
+
+    torch nn.MultiheadAttention packs q/k/v as in_proj_weight [3E, E]
+    applied as x @ W.T; flax MultiHeadDotProductAttention wants per-head
+    kernels [E, h, hd] (and out [h, hd, E])."""
+    E = sd["embedding_convPxP.weight"].shape[0]
+    hd = E // num_heads
+
+    params: Dict[str, Any] = {
+        "embedding_conv": {
+            "kernel": _conv_w(sd["embedding_convPxP.weight"]),
+            "bias": sd["embedding_convPxP.bias"],
+        },
+        "positional_encodings": sd["positional_encodings"],
+        "conv3x3": {"kernel": _conv_w(sd["conv3x3.weight"]), "bias": sd["conv3x3.bias"]},
+        "convert_to_prob": {
+            "kernel": _conv_w(sd["convert_to_prob.0.weight"]),
+            "bias": sd["convert_to_prob.0.bias"],
+        },
+    }
+    for i, idx in enumerate((0, 2, 4)):
+        params[f"bins{i + 1}"] = {
+            "kernel": sd[f"bins_regressor.{idx}.weight"].T,
+            "bias": sd[f"bins_regressor.{idx}.bias"],
+        }
+    for i in range(4):
+        src = f"transformer_encoder.layers.{i}"
+        w = sd[src + ".self_attn.in_proj_weight"]
+        b = sd[src + ".self_attn.in_proj_bias"]
+        attn: Dict[str, Any] = {}
+        for j, name in enumerate(("query", "key", "value")):
+            attn[name] = {
+                "kernel": w[j * E:(j + 1) * E].T.reshape(E, num_heads, hd),
+                "bias": b[j * E:(j + 1) * E].reshape(num_heads, hd),
+            }
+        attn["out"] = {
+            "kernel": sd[src + ".self_attn.out_proj.weight"].T.reshape(num_heads, hd, E),
+            "bias": sd[src + ".self_attn.out_proj.bias"],
+        }
+        params[f"layer{i}"] = {
+            "attn": attn,
+            "norm1": {"scale": sd[src + ".norm1.weight"], "bias": sd[src + ".norm1.bias"]},
+            "norm2": {"scale": sd[src + ".norm2.weight"], "bias": sd[src + ".norm2.bias"]},
+            "ff1": {"kernel": sd[src + ".linear1.weight"].T, "bias": sd[src + ".linear1.bias"]},
+            "ff2": {"kernel": sd[src + ".linear2.weight"].T, "bias": sd[src + ".linear2.bias"]},
+        }
+    return params
+
+
+def import_reference_sql(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference SQLdepth weights_* folder (encoder.pth =
+    ResnetEncoderDecoder, depth.pth = Lite QueryTr head, + pose pair) into
+    {'depth','pose'} params/stats (reference evaluate_depth.py:146-158,
+    trainer.py:60-67)."""
+    import os
+
+    encdec_p, encdec_s = sql_encoder_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "encoder.pth"))
+    )
+    head_p = sql_head_torch_to_flax(load_torch_state_dict(os.path.join(folder, "depth.pth")))
+    pe_p, pe_s = resnet_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "pose_encoder.pth")), prefix="encoder."
+    )
+    pd_p = pose_decoder_torch_to_flax(load_torch_state_dict(os.path.join(folder, "pose.pth")))
+    params = {
+        "depth": {**encdec_p, "head": head_p},
+        "pose": {"encoder": pe_p, "decoder": pd_p},
+    }
+    stats = {"depth": encdec_s, "pose": {"encoder": pe_s}}
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# DIFFNet importer (networksDIFF checkpoints)
+# ---------------------------------------------------------------------------
+def hrnet18_torch_to_flax(
+    sd: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference DIFFNet encoder.pth (HRNet-18,
+    networksDIFF/test_hr_encoder.py:295-497) -> our HRNetEncoder
+    params/batch_stats. Torch layout: conv1/bn1/conv2/bn2 stem; layer1.{b}
+    Bottlenecks; transition{n}.{i}[.{k}].{0,1} conv/bn chains;
+    stage{s}.{m}.branches.{i}.{b} BasicBlocks and
+    stage{s}.{m}.fuse_layers.{i}.{j}[.{k}].{0,1}."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def conv_at(tree, name, src):
+        tree.setdefault(name, {})["conv"] = {"kernel": _conv_w(sd[src + ".weight"])}
+
+    def bn_at(ptree, stree, name, src):
+        ptree.setdefault(name, {})["bn"] = {
+            "scale": sd[src + ".weight"], "bias": sd[src + ".bias"],
+        }
+        stree.setdefault(name, {})["bn"] = {
+            "mean": sd[src + ".running_mean"], "var": sd[src + ".running_var"],
+        }
+
+    def convbnrelu(dst, conv_src, bn_src):
+        params[dst] = {"conv": {"conv": {"kernel": _conv_w(sd[conv_src + ".weight"])}},
+                       "bn": {"bn": {"scale": sd[bn_src + ".weight"],
+                                     "bias": sd[bn_src + ".bias"]}}}
+        stats[dst] = {"bn": {"bn": {"mean": sd[bn_src + ".running_mean"],
+                                    "var": sd[bn_src + ".running_var"]}}}
+
+    def resblock(dst, src):
+        """BasicBlock/Bottleneck at torch prefix `src` -> our block dst."""
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        n_convs = 3 if src + ".conv3.weight" in sd else 2
+        for c in range(1, n_convs + 1):
+            conv_at(p, f"conv{c}", f"{src}.conv{c}")
+            bn_at(p, s, f"bn{c}", f"{src}.bn{c}")
+        if src + ".downsample.0.weight" in sd:
+            conv_at(p, "downsample_conv", f"{src}.downsample.0")
+            bn_at(p, s, "downsample_bn", f"{src}.downsample.1")
+        params[dst] = p
+        stats[dst] = s
+
+    convbnrelu("stem1", "conv1", "bn1")
+    convbnrelu("stem2", "conv2", "bn2")
+    for b in range(4):
+        resblock(f"layer1_{b}", f"layer1.{b}")
+
+    # transitions (networksDIFF/test_hr_encoder.py:357-390): same-branch
+    # re-channel convs are plain Sequentials, new-branch stride-2 chains are
+    # nested one level deeper
+    convbnrelu("tr1_0", "transition1.0.0", "transition1.0.1")
+    convbnrelu("tr1_1", "transition1.1.0.0", "transition1.1.0.1")
+    convbnrelu("tr2_2", "transition2.2.0.0", "transition2.2.0.1")
+    convbnrelu("tr3_3", "transition3.3.0.0", "transition3.3.0.1")
+
+    for s_i, (stage, n_modules, n_branches) in enumerate(
+        (("stage2", 1, 2), ("stage3", 4, 3), ("stage4", 3, 4))
+    ):
+        for m in range(n_modules):
+            mod: Dict[str, Any] = {}
+            mods: Dict[str, Any] = {}
+            base = f"{stage}.{m}"
+            for i in range(n_branches):
+                for b in range(4):
+                    src = f"{base}.branches.{i}.{b}"
+                    p: Dict[str, Any] = {}
+                    st: Dict[str, Any] = {}
+                    for c in (1, 2):
+                        conv_at(p, f"conv{c}", f"{src}.conv{c}")
+                        bn_at(p, st, f"bn{c}", f"{src}.bn{c}")
+                    if src + ".downsample.0.weight" in sd:
+                        conv_at(p, "downsample_conv", f"{src}.downsample.0")
+                        bn_at(p, st, "downsample_bn", f"{src}.downsample.1")
+                    mod[f"branch{i}_block{b}"] = p
+                    mods[f"branch{i}_block{b}"] = st
+            for i in range(n_branches):
+                for j in range(n_branches):
+                    if j > i:
+                        src = f"{base}.fuse_layers.{i}.{j}"
+                        conv_at(mod, f"fuse{i}_{j}_conv", src + ".0")
+                        bn_at(mod, mods, f"fuse{i}_{j}_bn", src + ".1")
+                    elif j < i:
+                        for k in range(i - j):
+                            src = f"{base}.fuse_layers.{i}.{j}.{k}"
+                            dstk = f"fuse{i}_{j}_down{k}"
+                            mod[dstk] = {"conv": {"conv": {"kernel": _conv_w(sd[src + ".0.weight"])}},
+                                         "bn": {"bn": {"scale": sd[src + ".1.weight"],
+                                                       "bias": sd[src + ".1.bias"]}}}
+                            mods[dstk] = {"bn": {"bn": {"mean": sd[src + ".1.running_mean"],
+                                                        "var": sd[src + ".1.running_var"]}}}
+            params[f"{stage}_m{m}"] = mod
+            stats[f"{stage}_m{m}"] = mods
+    return params, stats
+
+
+def diffnet_decoder_torch_to_flax(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Reference DIFFNet depth.pth (HRDepthDecoder ModuleDict convs.*,
+    networksDIFF/HR_Depth_Decoder.py:20-42; the duplicate decoder.{idx}.*
+    ModuleList aliases are ignored) -> our DIFFNet decoder params."""
+    params: Dict[str, Any] = {}
+
+    def att(dst, src):
+        params[dst] = {
+            "ca": {
+                "fc1": {"kernel": sd[f"convs.{src}.ca.fc.0.weight"].T},
+                "fc2": {"kernel": sd[f"convs.{src}.ca.fc.2.weight"].T},
+            },
+            "conv_se": {
+                "kernel": _conv_w(sd[f"convs.{src}.conv_se.weight"]),
+                "bias": sd[f"convs.{src}.conv_se.bias"],
+            },
+        }
+
+    att("att72", "72")
+    att("att36", "36")
+    att("att18", "18")
+    att("att9", "9")
+    for name in ("up_x9_0", "up_x9_1"):
+        params[name] = {"conv": {"conv": {
+            "kernel": _conv_w(sd[f"convs.{name}.conv.conv.weight"]),
+            "bias": sd[f"convs.{name}.conv.conv.bias"],
+        }}}
+    for i in range(4):
+        params[f"dispconv{i}"] = {"conv": {
+            "kernel": _conv_w(sd[f"convs.dispConvScale{i}.conv.weight"]),
+            "bias": sd[f"convs.dispConvScale{i}.conv.bias"],
+        }}
+    return params
+
+
+def import_reference_diffnet(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Load a reference DIFFNet weights_* folder (encoder.pth = HRNet-18,
+    depth.pth = attention-fusion decoder, + pose pair) into
+    {'depth','pose'} params/stats (reference evaluate_depth.py:170-185)."""
+    import os
+
+    enc_p, enc_s = hrnet18_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "encoder.pth"))
+    )
+    dec_p = diffnet_decoder_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "depth.pth"))
+    )
+    pe_p, pe_s = resnet_torch_to_flax(
+        load_torch_state_dict(os.path.join(folder, "pose_encoder.pth")), prefix="encoder."
+    )
+    pd_p = pose_decoder_torch_to_flax(load_torch_state_dict(os.path.join(folder, "pose.pth")))
+    params = {
+        "depth": {"encoder": enc_p, **dec_p},
+        "pose": {"encoder": pe_p, "decoder": pd_p},
+    }
+    stats = {"depth": {"encoder": enc_s}, "pose": {"encoder": pe_s}}
+    return params, stats
+
+
 def import_reference_monovit(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load a reference MonoViT weights_* folder (encoder.pth = MPViT,
     depth.pth = HR decoder, pose_encoder.pth/pose.pth = ResNet-18 pose pair)
@@ -407,3 +754,15 @@ def import_reference_monovit(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any
     }
     stats = {"depth": {"encoder": enc_s}, "pose": {"encoder": pe_s}}
     return params, stats
+
+
+# One folder-importer per zoo (reference checkpoint folders,
+# evaluate_depth.py:141-199 / trainer.py:807-829 load paths).
+IMPORTERS = {
+    "md2": import_reference_md2,
+    "monovit": import_reference_monovit,
+    "sql": import_reference_sql,
+    "sql_large": import_reference_sql,
+    "cadepth": import_reference_cadepth,
+    "diffnet": import_reference_diffnet,
+}

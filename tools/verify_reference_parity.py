@@ -25,7 +25,10 @@ def main():
     ap.add_argument("--kt_path", required=True)
     ap.add_argument("--splits_dir", default="splits")
     ap.add_argument("--split", default="eigen")
-    ap.add_argument("--zoo", default="md2", choices=["md2", "monovit"])
+    ap.add_argument(
+        "--zoo", default="md2",
+        choices=["md2", "monovit", "sql", "sql_large", "cadepth", "diffnet"],
+    )
     ap.add_argument("--num_layers", type=int, default=18)
     ap.add_argument("--height", type=int, default=192)
     ap.add_argument("--width", type=int, default=640)
@@ -37,10 +40,7 @@ def main():
 
     from baseboostdepth_tpu.config import Config
     from baseboostdepth_tpu.evaluation.depth import evaluate_kitti, print_metrics
-    from baseboostdepth_tpu.models.torch_import import (
-        import_reference_md2,
-        import_reference_monovit,
-    )
+    from baseboostdepth_tpu.models.torch_import import IMPORTERS
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state
     from baseboostdepth_tpu.utils.jax_setup import setup_jax
@@ -63,8 +63,7 @@ def main():
     state = init_state(st, make_optimizer(), jax.random.PRNGKey(0))
 
     print(f"importing reference checkpoint from {args.weights}")
-    importer = import_reference_monovit if args.zoo == "monovit" else import_reference_md2
-    params, stats = importer(args.weights)
+    params, stats = IMPORTERS[args.zoo](args.weights)
     from baseboostdepth_tpu.models.torch_import import _merge
 
     merged_params = _merge(state.params, params)
