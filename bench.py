@@ -60,7 +60,19 @@ def compiled_flops(step_fn, state, batch, key):
         return None
 
 
-def main():
+ZOO_NUM_LAYERS = {"md2": 18, "monovit": 18, "sql": 50, "sql_large": 50,
+                  "cadepth": 50, "diffnet": 18}
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--zoo", default="md2", choices=sorted(ZOO_NUM_LAYERS))
+    ap.add_argument("--batch_size", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args(argv)
+
     import jax
 
     from baseboostdepth_tpu.utils.jax_setup import setup_jax
@@ -71,11 +83,11 @@ def main():
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step
 
-    H, W, F, B = 192, 640, 7, 12
+    H, W, F, B = 192, 640, 7, args.batch_size
 
     st = StepStatic(
-        zoo="md2",
-        num_layers=18,
+        zoo=args.zoo,
+        num_layers=ZOO_NUM_LAYERS[args.zoo],
         height=H,
         width=W,
         F=F,
@@ -87,7 +99,7 @@ def main():
         pose_error=5.5,
         dtype="bfloat16",  # the default training config (fp32 params/losses)
     )
-    opt = make_optimizer(steps_per_epoch=3317)
+    opt = make_optimizer(steps_per_epoch=3317, vit=(args.zoo == "monovit"))
     state = init_state(st, opt, jax.random.PRNGKey(0))
     state = state.replace(params=inject_realistic_pose_bias(state.params))
 
@@ -119,7 +131,7 @@ def main():
     # scalar readback for timing (CLAUDE.md)
     float(metrics["loss"])
 
-    iters = 10
+    iters = args.iters
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step_fn(state, batch, jax.random.PRNGKey(2 + i))
@@ -134,7 +146,8 @@ def main():
     mfu = (flops / (dt * peak)) if (flops and peak) else None
 
     out = {
-        "metric": "train_imgs_per_sec_per_chip_full_method_640x192",
+        "metric": "train_imgs_per_sec_per_chip_full_method_640x192"
+        + ("" if args.zoo == "md2" else f"_{args.zoo}"),
         "value": round(imgs_per_sec / n_chips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / n_chips / REFERENCE_IMGS_PER_SEC, 3),

@@ -37,6 +37,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--zoo", default="md2",
+                    choices=["md2", "monovit", "sql", "sql_large", "cadepth", "diffnet"])
     args = ap.parse_args()
 
     import jax
@@ -46,7 +48,7 @@ def main():
     setup_jax()
 
     from baseboostdepth_tpu import geometry
-    from baseboostdepth_tpu.models import MD2DepthNet, build_pose_net
+    from baseboostdepth_tpu.models import build_depth_net, build_pose_net
     from baseboostdepth_tpu.ops import bilinear_sample
     from baseboostdepth_tpu.ops.ssim import reprojection_loss
 
@@ -55,21 +57,26 @@ def main():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
 
-    print(f"devices: {jax.devices()}  dtype={args.dtype}")
+    print(f"devices: {jax.devices()}  dtype={args.dtype}  zoo={args.zoo}")
 
     # ---- 1. depth net fwd+bwd ----
-    net = MD2DepthNet(num_layers=18, dtype=cdt)
+    num_layers = {"md2": 18, "monovit": 18, "sql": 50, "sql_large": 50,
+                  "cadepth": 50, "diffnet": 18}[args.zoo]
+    net = build_depth_net(args.zoo, num_layers=num_layers, dtype=cdt)
     x = jnp.asarray(rng.random((B, H, W, 3)).astype(np.float32))
     v = net.init(key, x, train=False)
 
     @jax.jit
     def depth_train(params, stats, x):
         def loss(p):
-            d, mut = net.apply({"params": p, "batch_stats": stats}, x, train=True, mutable=["batch_stats"])
+            d, mut = net.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+            )
             return sum(jnp.mean(di.astype(jnp.float32)) for di in d)
         return jax.grad(loss)(params)
 
-    t = timeit(depth_train, v["params"], v["batch_stats"], x, iters=args.iters)
+    t = timeit(depth_train, v["params"], v.get("batch_stats", {}), x, iters=args.iters)
     print(f"depth fwd+bwd (B={B}):           {t*1e3:8.1f} ms")
 
     # ---- 2. pose net fwd+bwd at the full-pair batch (18 pairs since the
