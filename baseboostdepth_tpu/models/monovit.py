@@ -265,7 +265,10 @@ class MPViT(nn.Module):
         dims = self.embed_dims
         # linear-decay drop-path schedule over all blocks (mpvit.py:586-598)
         total = sum(self.num_layers)
-        dpr_all = list(np.linspace(0, self.drop_path_rate, total))
+        # python floats, not np.float64: a non-weak scalar rate makes flax
+        # Dropout's inputs/keep_prob promote bf16 activations to f32 and its
+        # lax.select then fails under model.dtype=bfloat16
+        dpr_all = [float(v) for v in np.linspace(0, self.drop_path_rate, total)]
 
         x = ConvBN(dims[0] // 2, 3, 2, 1, act="hardswish", dtype=self.dtype, name="stem_0")(x, train)
         x = ConvBN(dims[0], 3, 1, 1, act="hardswish", dtype=self.dtype, name="stem_1")(x, train)

@@ -48,3 +48,24 @@ def test_zoo_loss_and_grads(zoo, H, W):
     gp = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["pose"]))
     assert gd > 0, f"{zoo}: no gradient into the depth network"
     assert gp > 0, f"{zoo}: no gradient into the pose network"
+
+
+@pytest.mark.parametrize("zoo,H,W", [
+    ("monovit", 64, 128),
+    ("cadepth", 64, 128),
+    ("diffnet", 64, 128),
+    ("sql", 128, 512),
+])
+def test_zoo_bf16_step_traces(zoo, H, W):
+    """Every zoo's train step must TRACE in the production bfloat16 config
+    (regression: MonoViT's DropPath rates were np.float64, promoting bf16
+    activations to f32 inside flax Dropout's lax.select -- the fp32 smoke
+    tests above never saw it, the TPU bench crashed)."""
+    from baseboostdepth_tpu.training.step import make_train_step
+
+    st = StepStatic(zoo=zoo, height=H, width=W, F=1, scales=(0,),
+                    trimin=True, decomp=True, dtype="bfloat16")
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    batch = jax.tree.map(jnp.asarray, _toy_batch(np.random.default_rng(0), 1, 1, H, W))
+    make_train_step(st, opt).lower(state, batch, jax.random.PRNGKey(1))

@@ -64,8 +64,10 @@ def main():
         @jax.jit
         def run(x):
             def body(i, carry):
-                # data-dependent perturbation defeats CSE/hoisting
-                y = step(x + carry * jnp.asarray(1e-12, cdt) + i.astype(cdt) * jnp.asarray(1e-12, cdt))
+                # data-dependent perturbation defeats CSE/hoisting; cast to
+                # the compute dtype so promotion doesn't change the conv
+                pert = ((carry + i.astype(jnp.float32)) * 1e-12).astype(cdt)
+                y = step(x + pert)
                 return jnp.mean(y.astype(jnp.float32))
             return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
