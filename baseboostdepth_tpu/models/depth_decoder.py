@@ -7,8 +7,10 @@ five up-stages of (3x3 reflect conv + ELU, nearest 2x upsample, skip concat,
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -17,16 +19,71 @@ from baseboostdepth_tpu.ops.resize import upsample2x_nearest
 DEC_CHANNELS = (16, 32, 64, 128, 256)
 
 
+def _packed_group(W: int, C: int) -> int:
+    """Columns-per-cell for the packed conv path, or 0 for the direct conv.
+
+    The decoder's fine scales (C <= 32 at W >= 320) run 3x3 convs at
+    0.1-3% MFU because C occupies only C of the 128 vector lanes
+    (tools/layer_probe.py); packing G columns into channels runs the same
+    arithmetic at full lanes (ops/packed_conv.py; measured 2.3-2.6x
+    fwd+wgrad at 192x640). CPU/interpret paths keep the direct conv -- the
+    packed transform is exact, so this is purely a perf dispatch.
+    BBD_PACKED_CONV=0 disables (A/B switch).
+    """
+    if os.environ.get("BBD_PACKED_CONV", "1") == "0":
+        return 0
+    if jax.default_backend() != "tpu":
+        return 0
+    if C <= 16 and W >= 320 and W % 8 == 0:
+        return 8
+    if C <= 32 and W >= 320 and W % 4 == 0:
+        return 4
+    return 0
+
+
 class ReflectConv3x3(nn.Module):
-    """Reflection-pad(1) + 3x3 conv; reference layers.py:118-133 (Conv3x3)."""
+    """Reflection-pad(1) + 3x3 conv; reference layers.py:118-133 (Conv3x3).
+
+    Owns its kernel/bias under a child scope named "conv" (same tree as the
+    previous nn.Conv child) and dispatches between the direct conv and the
+    column-packed formulation (see _packed_group)."""
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-        return nn.Conv(self.features, (3, 3), padding="VALID", dtype=self.dtype, name="conv")(x)
+        B, H, W, C = x.shape
+        conv = _Conv3x3Core(self.features, dtype=self.dtype, name="conv")
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+        return conv(xp, _packed_group(W, C))
+
+
+class _Conv3x3Core(nn.Module):
+    """3x3 VALID conv params + direct/packed execution."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, G: int):
+        C = xp.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, C, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        xp = xp.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if G:
+            from baseboostdepth_tpu.ops.packed_conv import packed_conv3x3
+
+            y = packed_conv3x3(xp, k, G=G)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xp, k, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return y + bias.astype(self.dtype)
 
 
 class ConvBlock(nn.Module):
