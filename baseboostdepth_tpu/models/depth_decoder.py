@@ -38,6 +38,8 @@ def _packed_group(W: int, C: int) -> int:
         return 8
     if C <= 32 and W >= 320 and W % 4 == 0:
         return 4
+    # C<=64/G=2 at W>=160 measured -16% in-step (240->280 ms): C=64 already
+    # fills half the lanes and the pack relayout swamps the win. Don't.
     return 0
 
 
