@@ -85,7 +85,9 @@ def resolve_warp(impl: str = "auto"):
     there), the XLA formulation elsewhere (CPU tests, virtual meshes)."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas":
+    if impl in ("pallas", "corner"):
+        # "corner" only changes the packed-uint8 training path (step.py);
+        # the generic float-planes fallback is the same kernel either way
         import functools
 
         from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas

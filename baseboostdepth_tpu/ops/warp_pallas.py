@@ -466,6 +466,130 @@ def _warp_packed_bwd(interpret, res, gout):
 _warp_packed.defvjp(_warp_packed_fwd, _warp_packed_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Corner-plane variant: sweep ONCE, let XLA blend and differentiate.
+#
+# The packed fwd/bwd pair above runs the gather sweep twice per training use
+# (forward, then the VJP re-sweeps to rebuild the corners). Emitting the four
+# packed corner planes instead of the blended image removes the second sweep
+# entirely: the bilinear blend
+#     out = v00 + (v01-v00)*wx + ... ,  wx = px - floor(px)
+# happens in XLA, where autodiff through wx/wy reproduces exactly the
+# hand-derived coordinate gradient (d out/d px = (1-wy)(v01-v00)+wy(v11-v10);
+# floor contributes zero a.e., and the caller's coordinate clip saturates
+# out-of-image gradients like torch border mode). Because the kernel's
+# outputs are int32 (and its float inputs are wrapped in stop_gradient), no
+# gradient ever crosses the pallas_call -- no custom VJP needed. As a bonus
+# the unpack+blend is plain elementwise XLA that fuses straight into the
+# photometric loss consuming the warp: the warp+photometric "megakernel" done
+# by the compiler instead of by hand.
+# ---------------------------------------------------------------------------
+
+
+def _corner_kernel(src_ref, px_ref, py_ref, out_ref, a00, a01, a10, a11):
+    bh, bw = px_ref.shape
+    for i0 in range(0, bh, TILE_H):
+        for j0 in range(0, bw, TILE_W):
+            px = px_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+            py = py_ref[i0 : i0 + TILE_H, j0 : j0 + TILE_W]
+            _sweep_packed(src_ref, px, py, a00, a01, a10, a11)
+            out_ref[0, i0 : i0 + TILE_H, j0 : j0 + TILE_W] = a00[:]
+            out_ref[1, i0 : i0 + TILE_H, j0 : j0 + TILE_W] = a01[:]
+            out_ref[2, i0 : i0 + TILE_H, j0 : j0 + TILE_W] = a10[:]
+            out_ref[3, i0 : i0 + TILE_H, j0 : j0 + TILE_W] = a11[:]
+
+
+def _corner_sweep(packed, px, py, interpret):
+    """packed int32 [N, Hp, Wp]; px/py [N, Ho, Wo] clamped pixel coords ->
+    corner planes int32 [N, 4, Ho, Wo] (v00, v01, v10, v11 packed RGB)."""
+    N, Hp, Wp = packed.shape
+    _, Ho, Wo = px.shape
+    bh = min(BLOCK_H, Ho)
+    grid = (N, Ho // bh)
+    coord_spec = pl.BlockSpec((None, bh, Wo), lambda n, i: (n, i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _corner_kernel,
+        out_shape=jax.ShapeDtypeStruct((N, 4, Ho, Wo), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, Hp, Wp), lambda n, i: (n, 0, 0), memory_space=pltpu.VMEM),
+            coord_spec,
+            coord_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (None, 4, bh, Wo), lambda n, i: (n, 0, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=list(_SCRATCH_I32),
+        interpret=interpret,
+    )(packed, px, py)
+
+
+def bilinear_sample_corner_u8(
+    frames_u8: jax.Array, grid: jax.Array, interpret: bool = False
+) -> jax.Array:
+    """Bilinear warp of uint8 RGB sources via the corner-plane kernel.
+
+    Numerically identical to bilinear_sample_pallas_u8 (same sweep, same
+    blend) but with ONE gather sweep per training step instead of two: the
+    backward pass is the XLA autodiff of the blend over the saved corner
+    planes -- fused elementwise work, no kernel.
+
+    Args:
+      frames_u8: [..., H, W, 3] uint8.
+      grid: [..., Ho, Wo, 2] normalized coords.
+    Returns:
+      [..., Ho, Wo, 3] float32.
+    """
+    H, W, C = frames_u8.shape[-3:]
+    assert C == 3 and frames_u8.dtype == jnp.uint8
+    lead = frames_u8.shape[:-3]
+    Ho, Wo = grid.shape[-3:-1]
+    B = int(np.prod(lead)) if lead else 1
+
+    x = (grid[..., 0].reshape(B, Ho, Wo) + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1].reshape(B, Ho, Wo) + 1.0) * 0.5 * (H - 1)
+    x = jnp.clip(x, 0.0, W - 1)
+    y = jnp.clip(y, 0.0, H - 1)
+
+    Hp = _round_up(H + 1, TILE_H)
+    Wp = _round_up(W + 1, TILE_W)
+    packed = pack_rgb(frames_u8.reshape(B, H, W, 3))
+    packed = _pad_to(packed, Hp, Wp)
+
+    Hop = _round_up(Ho, BLOCK_H if Ho >= BLOCK_H else TILE_H)
+    Wop = _round_up(Wo, TILE_W)
+    xp, yp = x, y
+    if (Hop, Wop) != (Ho, Wo):
+        xp = _pad_to(x, Hop, Wop)
+        yp = _pad_to(y, Hop, Wop)
+
+    corners = _corner_sweep(
+        packed, jax.lax.stop_gradient(xp), jax.lax.stop_gradient(yp), interpret
+    )
+    corners = corners[:, :, :Ho, :Wo]
+
+    # d wx/d x = 1 (jnp.floor's gradient is zero); the clip above saturates
+    # gradients outside the image, matching torch border mode
+    wx = x - jnp.floor(x)
+    wy = y - jnp.floor(y)
+    c00, c01, c10, c11 = corners[:, 0], corners[:, 1], corners[:, 2], corners[:, 3]
+
+    def unpack_ch(v, c):
+        return ((v >> (8 * c)) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+
+    outs = []
+    for c in range(3):
+        v00 = unpack_ch(c00, c)
+        v01 = unpack_ch(c01, c)
+        v10 = unpack_ch(c10, c)
+        v11 = unpack_ch(c11, c)
+        top = v00 + (v01 - v00) * wx
+        bot = v10 + (v11 - v10) * wx
+        outs.append(top + (bot - top) * wy)
+    out = jnp.stack(outs, axis=-1)
+    return out.reshape(lead + (Ho, Wo, 3))
+
+
 def bilinear_sample_pallas_u8(
     frames_u8: jax.Array, grid: jax.Array, interpret: bool = False
 ) -> jax.Array:

@@ -45,7 +45,10 @@ from baseboostdepth_tpu.data.augment import apply_flip, color_jitter
 from baseboostdepth_tpu.training.batch import num_temporal_slots
 from baseboostdepth_tpu.models import DEPTH_IS_METRIC, build_depth_net, build_pose_net
 from baseboostdepth_tpu.ops.sampling import bilinear_sample, resolve_warp
-from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas_u8
+from baseboostdepth_tpu.ops.warp_pallas import (
+    bilinear_sample_corner_u8,
+    bilinear_sample_pallas_u8,
+)
 from baseboostdepth_tpu.ops.resize import lanczos_pyramid, resize_bilinear
 
 
@@ -74,7 +77,12 @@ class StepStatic:
     # harmless under Adam but kept for logged-loss comparability.
     loss_norm_scales: int = 4
     dtype: str = "float32"
-    warp_impl: str = "auto"  # auto | pallas | xla
+    # warp backend: "pallas" = packed kernel with custom-VJP bwd sweep;
+    # "corner" = packed kernel emits the 4 corner planes and XLA does the
+    # (differentiable) blend -- ONE sweep per step instead of two, and the
+    # unpack/blend fuses into the photometric loss. "auto" = corner on the
+    # packed TPU path (in-step 223 vs 239 ms like-for-like), XLA off-TPU.
+    warp_impl: str = "auto"  # auto | corner | pallas | xla
     # photometric backend: the fused Pallas kernel is ~2.7x the XLA
     # reduce_window formulation standalone (15.3 vs 41.1 ms fwd+grad at
     # late-stage volume) but measured SLOWER inside the full step (262.7 vs
@@ -467,7 +475,14 @@ def loss_forward(
     # exercises the production kernel-under-shard_map path on a CPU mesh
     # (what the driver's dryrun and tests/test_train_step.py validate)
     interp = jax.default_backend() != "tpu"
-    packed_warp = lambda i, g: bilinear_sample_pallas_u8(i, g, interpret=interp)
+    # "auto" on the packed path means the corner-plane kernel: measured
+    # like-for-like in-step 223.1 ms vs 239.3 ms for the custom-VJP packed
+    # kernel (one gather sweep instead of two; the blend fuses into the
+    # photometric loss).
+    if st.warp_impl in ("corner", "auto"):
+        packed_warp = lambda i, g: bilinear_sample_corner_u8(i, g, interpret=interp)
+    else:
+        packed_warp = lambda i, g: bilinear_sample_pallas_u8(i, g, interpret=interp)
     if use_packed and multi_dev:
         from jax.sharding import PartitionSpec as _P
 

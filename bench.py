@@ -71,6 +71,7 @@ def main(argv=None):
     ap.add_argument("--zoo", default="md2", choices=sorted(ZOO_NUM_LAYERS))
     ap.add_argument("--batch_size", type=int, default=12)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warp", default="auto", choices=["auto", "corner", "pallas", "xla"])
     args = ap.parse_args(argv)
 
     import jax
@@ -98,6 +99,7 @@ def main(argv=None):
         decomp=True,
         pose_error=5.5,
         dtype="bfloat16",  # the default training config (fp32 params/losses)
+        warp_impl=args.warp,
     )
     opt = make_optimizer(steps_per_epoch=3317, vit=(args.zoo == "monovit"))
     state = init_state(st, opt, jax.random.PRNGKey(0))

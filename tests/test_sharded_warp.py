@@ -70,13 +70,15 @@ def _tiny_batch(rng, B, H, W, F):
 
 
 @pytest.mark.slow
-def test_full_step_pallas_under_mesh_matches_unsharded(mesh):
+@pytest.mark.parametrize("warp_impl", ["pallas", "corner"])
+def test_full_step_pallas_under_mesh_matches_unsharded(mesh, warp_impl):
     """The production sharded step -- Pallas warp shard_map-pinned to the
     data axis (training/step.py make_train_step mesh arg; interpret mode on
     CPU) -- must produce the same update as the single-device step. This is
     the code path the trainer compiles on a real multi-chip mesh
     (trainer.py _step_fn), so the dryrun/test must cover it, not just the
-    XLA-warp fallback."""
+    XLA-warp fallback. Covers both packed-kernel backends (custom-VJP
+    "pallas" and corner-plane "corner")."""
     import optax
 
     from baseboostdepth_tpu.parallel import replicate, shard_batch
@@ -85,7 +87,7 @@ def test_full_step_pallas_under_mesh_matches_unsharded(mesh):
     H, W, F, B = 32, 64, 1, 8
     st = StepStatic(zoo="md2", height=H, width=W, F=F, scales=(0,),
                     trimin=True, decomp=True, dtype="float32",
-                    warp_impl="pallas")
+                    warp_impl=warp_impl)
     opt = optax.adam(1e-4)
     batch = _tiny_batch(np.random.default_rng(0), B, H, W, F)
     key = jax.random.PRNGKey(1)
@@ -105,10 +107,12 @@ def test_full_step_pallas_under_mesh_matches_unsharded(mesh):
     flat_a, _ = jax.tree_util.tree_flatten(pa)
     flat_b, _ = jax.tree_util.tree_flatten(pb)
     for xa, xb in zip(flat_a, flat_b):
-        # not bitwise: BN batch reductions reassociate under GSPMD sharding
-        # and Adam's normalizer amplifies the fp32 noise (measured max
-        # deviation 1.7e-5 over one update)
-        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=5e-5)
+        # not bitwise: BN batch reductions reassociate under GSPMD sharding,
+        # and the FIRST Adam update is sign-like (g / sqrt((1-b2) g^2)), so a
+        # near-zero gradient element amplifies fp32 reassociation noise up to
+        # ~lr/sqrt(1-b2) = 3e-3. Observed: <=2/9408 elements at 1.9e-4; the
+        # loss equality above (rtol 1e-6) is the functional sharding check.
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-3)
 
 
 def test_make_train_step_accepts_mesh(mesh):

@@ -9,7 +9,11 @@ import torch
 import torch.nn.functional as F
 
 from baseboostdepth_tpu.ops.sampling import bilinear_sample
-from baseboostdepth_tpu.ops.warp_pallas import bilinear_sample_pallas
+from baseboostdepth_tpu.ops.warp_pallas import (
+    bilinear_sample_corner_u8,
+    bilinear_sample_pallas,
+    bilinear_sample_pallas_u8,
+)
 
 
 def _torch_ref(img, grid):
@@ -66,3 +70,65 @@ class TestPallasWarp:
         assert out.shape == (2, 3, 16, 128, 3)
         one = bilinear_sample_pallas(jnp.asarray(img[1, 2]), jnp.asarray(grid[1, 2]), interpret=True)
         np.testing.assert_allclose(np.asarray(out[1, 2]), np.asarray(one), atol=1e-6)
+
+
+class TestCornerWarp:
+    """bilinear_sample_corner_u8: same sweep as the packed kernel, but the
+    blend (and therefore the whole backward pass) runs in XLA over the saved
+    corner planes."""
+
+    def _inputs(self, seed, shape=(2, 24, 128)):
+        rng = np.random.default_rng(seed)
+        B, H, W = shape
+        img = rng.integers(0, 256, (B, H, W, 3), dtype=np.uint8)
+        grid = ((rng.random((B, H, W, 2)) * 2 - 1) * 1.1).astype(np.float32)
+        return img, grid
+
+    def test_matches_packed_kernel(self):
+        img, grid = self._inputs(10)
+        a = np.asarray(bilinear_sample_pallas_u8(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        b = np.asarray(bilinear_sample_corner_u8(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_matches_torch(self):
+        img, grid = self._inputs(11)
+        out = np.asarray(bilinear_sample_corner_u8(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        ref = _torch_ref(img.astype(np.float32) / 255.0, grid)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_grid_gradients_match_custom_vjp(self):
+        """XLA autodiff through the corner blend must equal the packed
+        kernel's hand-derived VJP (they compute the same closed form)."""
+        img, grid = self._inputs(12, shape=(1, 16, 128))
+        ct = np.random.default_rng(13).random((1, 16, 128, 3)).astype(np.float32)
+
+        def loss(fn, g):
+            return jnp.sum(fn(jnp.asarray(img), g, interpret=True) * ct)
+
+        g_corner = np.asarray(
+            jax.grad(lambda g: loss(bilinear_sample_corner_u8, g))(jnp.asarray(grid))
+        )
+        g_packed = np.asarray(
+            jax.grad(lambda g: loss(bilinear_sample_pallas_u8, g))(jnp.asarray(grid))
+        )
+        np.testing.assert_allclose(g_corner, g_packed, atol=1e-4)
+
+    def test_grid_gradients_match_torch(self):
+        img, grid = self._inputs(14, shape=(1, 16, 128))
+
+        def f(g):
+            return jnp.sum(bilinear_sample_corner_u8(jnp.asarray(img), g, interpret=True) ** 2)
+
+        gg = np.asarray(jax.grad(f)(jnp.asarray(grid)))
+
+        t_img = torch.from_numpy(img.astype(np.float32) / 255.0).permute(0, 3, 1, 2)
+        tg = torch.from_numpy(grid).requires_grad_(True)
+        out = F.grid_sample(t_img, tg, mode="bilinear", padding_mode="border", align_corners=True)
+        (out**2).sum().backward()
+        np.testing.assert_allclose(gg, tg.grad.numpy(), atol=1e-4)
+
+    def test_non_tile_aligned_shapes(self):
+        img, grid = self._inputs(15, shape=(1, 30, 100))
+        out = np.asarray(bilinear_sample_corner_u8(jnp.asarray(img), jnp.asarray(grid), interpret=True))
+        ref = _torch_ref(img.astype(np.float32) / 255.0, grid)
+        np.testing.assert_allclose(out, ref, atol=1e-5)
