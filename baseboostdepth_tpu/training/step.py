@@ -540,12 +540,13 @@ def loss_forward(
 
         # SQL's head emits at H/2; the reference upsamples before the
         # smoothness term (trainer.py:558-559)
-        disp_sm = disp if disp.shape[1:3] == pyramid[s].shape[1:3] else resize_bilinear(
-            disp, pyramid[s].shape[1], pyramid[s].shape[2]
-        )
-        nd = losses.normalized_disp(disp_sm)
-        sm = losses.smooth_loss(nd, pyramid[s].astype(nd.dtype))
-        loss_s = loss_s + st.smooth_weight * sm / (2**s)
+        if st.smooth_weight:  # static; 0.0 skips the term entirely (ablation)
+            disp_sm = disp if disp.shape[1:3] == pyramid[s].shape[1:3] else resize_bilinear(
+                disp, pyramid[s].shape[1], pyramid[s].shape[2]
+            )
+            nd = losses.normalized_disp(disp_sm)
+            sm = losses.smooth_loss(nd, pyramid[s].astype(nd.dtype))
+            loss_s = loss_s + st.smooth_weight * sm / (2**s)
 
         metrics[f"loss/{s}"] = loss_s
         total = total + loss_s

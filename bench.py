@@ -72,6 +72,10 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=12)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warp", default="auto", choices=["auto", "corner", "pallas", "xla"])
+    ap.add_argument("--F", type=int, default=7,
+                    help="stage max temporal offset (bucket-class timing: 2/5/7)")
+    ap.add_argument("--pose_input_scale", type=float, default=1.0,
+                    help="opt-in perf mode (model.pose_input_scale)")
     args = ap.parse_args(argv)
 
     import jax
@@ -84,7 +88,7 @@ def main(argv=None):
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step
 
-    H, W, F, B = 192, 640, 7, args.batch_size
+    H, W, F, B = 192, 640, args.F, args.batch_size
 
     st = StepStatic(
         zoo=args.zoo,
@@ -100,6 +104,7 @@ def main(argv=None):
         pose_error=5.5,
         dtype="bfloat16",  # the default training config (fp32 params/losses)
         warp_impl=args.warp,
+        pose_input_scale=args.pose_input_scale,
     )
     opt = make_optimizer(steps_per_epoch=3317, vit=(args.zoo == "monovit"))
     state = init_state(st, opt, jax.random.PRNGKey(0))
@@ -149,7 +154,9 @@ def main(argv=None):
 
     out = {
         "metric": "train_imgs_per_sec_per_chip_full_method_640x192"
-        + ("" if args.zoo == "md2" else f"_{args.zoo}"),
+        + ("" if args.zoo == "md2" else f"_{args.zoo}")
+        + ("" if args.F == 7 else f"_F{args.F}")
+        + ("" if args.pose_input_scale == 1.0 else f"_ps{args.pose_input_scale}"),
         "value": round(imgs_per_sec / n_chips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / n_chips / REFERENCE_IMGS_PER_SEC, 3),

@@ -95,6 +95,8 @@ def main():
         ("no decomp (no err warps)", dataclasses.replace(base, decomp=False)),
         ("xla warp", dataclasses.replace(base, warp_impl="xla")),
         ("pose_input_scale 0.5", dataclasses.replace(base, pose_input_scale=0.5)),
+        ("no smoothness", dataclasses.replace(base, smooth_weight=0.0)),
+        ("packed warp (custom VJP)", dataclasses.replace(base, warp_impl="pallas")),
     ]:
         t = scan_step_time(st)
         print(f"{name:36s} {t*1e3:8.1f} ms   delta {1e3*(t - t_base):+7.1f} ms")

@@ -84,6 +84,9 @@ def evaluate(cfg, state, st):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    ap.add_argument("--zoo", default="md2",
+                    choices=["md2", "monovit", "sql", "cadepth", "diffnet"],
+                    help="depth-network zoo (convergence evidence per zoo)")
     ap.add_argument("--root", default="logs/synth_scene")
     ap.add_argument("--n-frames", type=int, default=420)
     ap.add_argument("--width", type=int, default=640)
@@ -112,6 +115,7 @@ def main():
     )
 
     cfg = Config()
+    cfg.model.zoo = args.zoo
     cfg.model.dtype = args.dtype
     cfg.data.kt_path = data_path
     cfg.data.splits_dir = splits_dir
@@ -127,7 +131,8 @@ def main():
     cfg.method.curriculum_switch_epoch = args.switch_epoch
     cfg.method.disp_init_bias = args.disp_bias
     cfg.model.pose_input_scale = args.pose_scale
-    suffix = "" if args.disp_bias is None else f"_bias{args.disp_bias}"
+    suffix = "" if args.zoo == "md2" else f"_{args.zoo}"
+    suffix += "" if args.disp_bias is None else f"_bias{args.disp_bias}"
     if args.pose_scale != 1.0:
         suffix += f"_ps{args.pose_scale}"
     if args.seed != 0:
