@@ -48,16 +48,24 @@ def inject_realistic_pose_bias(params):
     return params
 
 
-def compiled_flops(step_fn, state, batch, key):
-    """XLA-counted flops of the jitted train step (None if unsupported)."""
+def compiled_costs(step_fn, state, batch, key):
+    """(flops, bytes_accessed) XLA-counted for the jitted train step.
+
+    bytes_accessed is XLA's operand+output byte count over all HLOs -- an
+    upper bound on HBM traffic (fusion makes some of it register/VMEM
+    traffic), so the derived memory-bound floor is conservative but honest
+    for a workload whose convs are too small-channel to be MXU-bound.
+    """
     try:
         cost = step_fn.lower(state, batch, key).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         f = cost.get("flops")
-        return float(f) if f and f > 0 else None
+        b = cost.get("bytes accessed")
+        return (float(f) if f and f > 0 else None,
+                float(b) if b and b > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
 ZOO_NUM_LAYERS = {"md2": 18, "monovit": 18, "sql": 50, "sql_large": 50,
@@ -77,6 +85,25 @@ def main(argv=None):
     ap.add_argument("--pose_input_scale", type=float, default=1.0,
                     help="opt-in perf mode (model.pose_input_scale)")
     args = ap.parse_args(argv)
+
+    # the tunneled TPU backend HANGS (not errors) when the relay is down;
+    # probe it in a killable subprocess so the bench fails loudly instead
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; float(jnp.sum(jnp.ones((8, 128))))"],
+            timeout=300, check=True, capture_output=True,
+        )
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        print(json.dumps({
+            "metric": "train_imgs_per_sec_per_chip_full_method_640x192",
+            "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
+            "error": f"device unreachable: {type(e).__name__}",
+        }))
+        raise SystemExit(1)
 
     import jax
 
@@ -129,7 +156,7 @@ def main(argv=None):
     batch = jax.tree.map(jax.numpy.asarray, batch)
 
     step_fn = make_train_step(st, opt)
-    flops = compiled_flops(step_fn, state, batch, jax.random.PRNGKey(1))
+    flops, hbm_bytes = compiled_costs(step_fn, state, batch, jax.random.PRNGKey(1))
 
     # warmup / compile
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
@@ -151,6 +178,12 @@ def main(argv=None):
     platform = jax.devices()[0].platform
     peak = PEAK_FLOPS_BY_PLATFORM.get(platform)
     mfu = (flops / (dt * peak)) if (flops and peak) else None
+    # combined speed-of-light: max(compute floor, memory floor) per step.
+    # v5e HBM: 819 GB/s.
+    hbm_bw = 819e9 if peak else None
+    sol_ms = None
+    if flops and peak and hbm_bytes and hbm_bw:
+        sol_ms = max(flops / peak, hbm_bytes / hbm_bw) * 1e3
 
     out = {
         "metric": "train_imgs_per_sec_per_chip_full_method_640x192"
@@ -167,6 +200,14 @@ def main(argv=None):
     if mfu is not None:
         out["mfu"] = round(mfu, 4)
         out["pct_roofline"] = round(100 * mfu, 2)
+    if hbm_bytes:
+        out["hbm_bytes_per_step"] = round(hbm_bytes)
+    if sol_ms is not None:
+        # fraction of the roofline-model speed-of-light this step achieves,
+        # counting BOTH rooflines (memory-bound floor dominates here: the
+        # method is elementwise/gather-heavy at small channel counts)
+        out["sol_ms"] = round(sol_ms, 1)
+        out["pct_sol"] = round(100 * sol_ms / (dt * 1e3), 2)
     print(json.dumps(out))
 
 
