@@ -28,8 +28,11 @@ import time
 import numpy as np
 
 REFERENCE_IMGS_PER_SEC = 30.0
-# TPU v5e (the bench target): 197 bf16 TFLOP/s per chip.
+# TPU v5e (the bench target): 197 bf16 TFLOP/s per chip, 819 GB/s HBM.
+# Both keyed by platform so other generations don't get mislabeled
+# speed-of-light numbers (ADVICE r3).
 PEAK_FLOPS_BY_PLATFORM = {"tpu": 197e12, "axon": 197e12}
+HBM_BW_BY_PLATFORM = {"tpu": 819e9, "axon": 819e9}
 
 
 def inject_realistic_pose_bias(params):
@@ -87,21 +90,35 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     # the tunneled TPU backend HANGS (not errors) when the relay is down;
-    # probe it in a killable subprocess so the bench fails loudly instead
+    # probe it in a killable subprocess so the bench fails loudly instead.
+    # The relay also has transient outages (VERDICT r3: a whole round of perf
+    # evidence was lost to one), so retry with backoff before giving up:
+    # 5 attempts spread over ~10 minutes.
     import subprocess
     import sys
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; float(jnp.sum(jnp.ones((8, 128))))"],
-            timeout=300, check=True, capture_output=True,
-        )
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+    last_err = None
+    for attempt in range(5):
+        if attempt:
+            delay = min(60 * attempt, 180)
+            print(f"# tunnel probe failed ({last_err}); retry {attempt}/4 "
+                  f"in {delay}s", file=sys.stderr)
+            time.sleep(delay)
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; float(jnp.sum(jnp.ones((8, 128))))"],
+                timeout=120, check=True, capture_output=True,
+            )
+            last_err = None
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            last_err = type(e).__name__
+    if last_err is not None:
         print(json.dumps({
             "metric": "train_imgs_per_sec_per_chip_full_method_640x192",
             "value": 0.0, "unit": "imgs/sec/chip", "vs_baseline": 0.0,
-            "error": f"device unreachable: {type(e).__name__}",
+            "error": f"device unreachable: {last_err}",
         }))
         raise SystemExit(1)
 
@@ -179,8 +196,7 @@ def main(argv=None):
     peak = PEAK_FLOPS_BY_PLATFORM.get(platform)
     mfu = (flops / (dt * peak)) if (flops and peak) else None
     # combined speed-of-light: max(compute floor, memory floor) per step.
-    # v5e HBM: 819 GB/s.
-    hbm_bw = 819e9 if peak else None
+    hbm_bw = HBM_BW_BY_PLATFORM.get(platform)
     sol_ms = None
     if flops and peak and hbm_bytes and hbm_bw:
         sol_ms = max(flops / peak, hbm_bytes / hbm_bw) * 1e3
