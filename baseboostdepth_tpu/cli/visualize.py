@@ -1,11 +1,15 @@
 """Comparison visualization (reference validation.py): run one or more
 checkpoints over an image sequence, render input | colormapped disparity
-panels, and write a stitched video.
+panels, and write a stitched video. With --gt_npz (a gt_depths.npz aligned
+with the frame list, as export_gt produces), each panel is stamped with that
+model's per-frame abs_rel (reference validation.py:179, 228-273: median
+scaling + Garg crop, depth range [0.1, 80]).
 
 Usage:
   python -m baseboostdepth_tpu.cli.visualize \
       --image_dir /data/seq --out video.avi \
-      --model cfgA.json:ckptA --model cfgB.json:ckptB [--fps 10]
+      --model cfgA.json:ckptA --model cfgB.json:ckptB [--fps 10] \
+      [--gt_npz gt_depths.npz]
 """
 
 from __future__ import annotations
@@ -55,14 +59,25 @@ def main(argv=None):
     ap.add_argument("--model", action="append", required=True,
                     help="config.json:checkpoint_dir (repeatable)")
     ap.add_argument("--fps", type=int, default=10)
+    ap.add_argument("--gt_npz", default=None,
+                    help="gt_depths.npz aligned with the sorted frame list; "
+                    "stamps per-frame abs_rel on each model panel "
+                    "(reference validation.py:179)")
     args = ap.parse_args(argv)
 
     models = [_load_model(spec) for spec in args.model]
     paths = sorted(glob.glob(os.path.join(args.image_dir, f"*.{args.ext}")))
     print(f"{len(models)} model(s), {len(paths)} frames")
 
+    gt_depths = None
+    if args.gt_npz:
+        gt_depths = np.load(args.gt_npz, allow_pickle=True)["data"]
+        assert len(gt_depths) >= len(paths), (
+            f"{len(gt_depths)} GT depths for {len(paths)} frames"
+        )
+
     writer = None
-    for p in paths:
+    for fi, p in enumerate(paths):
         with Image.open(p) as im:
             im = im.convert("RGB")
             panels = []
@@ -71,9 +86,22 @@ def main(argv=None):
                     im.resize((st.width, st.height), Image.LANCZOS), np.float32
                 ) / 255.0
                 disp = np.asarray(fwd(state.params, state.stats, jnp.asarray(x[None])))[0]
+                label = name
+                if gt_depths is not None:
+                    from baseboostdepth_tpu.evaluation.metrics import single_image_errors
+
+                    gt = gt_depths[fi]
+                    # validation.py:233-273 protocol: disp resized to GT res,
+                    # depth = 1/disp, median scale under Garg crop, [0.1, 80]
+                    dfull = cv2.resize(disp, (gt.shape[1], gt.shape[0]))
+                    abs_rel = single_image_errors(
+                        1.0 / np.maximum(dfull, 1e-9), gt,
+                        min_depth=0.1, max_depth=80.0,
+                    )[0]
+                    label = f"{name} abs_rel={abs_rel:.3f}"
                 vmax = np.percentile(disp, 95)
                 vis = (colormap(np.clip(disp / max(vmax, 1e-9), 0, 1), normalize=False) * 255).astype(np.uint8)
-                cv2.putText(vis, name, (8, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 255, 255), 1)
+                cv2.putText(vis, label, (8, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.6, (255, 255, 255), 1)
                 panels.append(vis)
             inp = np.asarray(im.resize((models[0][1].width, models[0][1].height)), np.uint8)
             frame = np.concatenate([inp] + panels, axis=0)[:, :, ::-1]  # BGR

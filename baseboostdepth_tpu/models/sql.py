@@ -74,11 +74,14 @@ class TransformerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # torch nn.TransformerEncoderLayer's MultiheadAttention drops the
+        # attention *weights* (softmax output) at the same rate; flax's
+        # dropout_rate has those semantics exactly
         att = nn.MultiHeadDotProductAttention(
             num_heads=self.heads,
             dtype=self.dtype,
-            dropout_rate=0.0,
-            deterministic=True,
+            dropout_rate=self.dropout,
+            deterministic=not train,
             name="attn",
         )(x, x)
         att = nn.Dropout(self.dropout, deterministic=not train)(att)

@@ -175,17 +175,31 @@ def import_reference_md2(folder: str) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     return params, stats
 
 
-def load_pretrained_encoder(state, path: str, zoo: str):
+def load_pretrained_encoder(state, path: str, zoo: str, pose_path: str | None = None):
     """ImageNet init: replace the depth encoder (and 2-image pose encoder,
-    conv1 tiled/averaged like networks/resnet_encoder.py:49-52) from a
-    torchvision ResNet .pth."""
+    conv1 tiled/averaged like networks/resnet_encoder.py:49-52) from
+    torchvision ResNet .pth files.
+
+    `path` initializes the depth encoder: a torchvision resnet .pth for the
+    ResNet-backed zoos (md2: resnet{num_layers}; sql/cadepth: resnet50 --
+    trainer.py:61-71), the released mpvit_small.pth for monovit (the
+    reference loads it inside the encoder ctor, networksvit/mpvit.py:815),
+    or an hrnetv2_w18 ImageNet .pth for diffnet (test_hr_encoder.py:500-547).
+    The pose encoder is always a ResNet-18 (trainer.py:92-99), so when the
+    depth encoder isn't one, pass the resnet18 .pth as `pose_path`.
+    """
     sd = load_torch_state_dict(path)
-    enc_p, enc_s = resnet_torch_to_flax(sd)
 
     params = dict(state.params)
     stats = dict(state.stats)
 
-    if zoo == "md2":
+    if zoo in ("md2", "sql", "sql_large", "cadepth", "monovit", "diffnet"):
+        if zoo == "monovit":
+            enc_p, enc_s = mpvit_torch_to_flax(sd)
+        elif zoo == "diffnet":
+            enc_p, enc_s = hrnet18_torch_to_flax(sd)
+        else:
+            enc_p, enc_s = resnet_torch_to_flax(sd)
         depth_p = dict(params["depth"])
         depth_p["encoder"] = _merge(params["depth"]["encoder"], enc_p)
         params["depth"] = depth_p
@@ -194,7 +208,8 @@ def load_pretrained_encoder(state, path: str, zoo: str):
         stats["depth"] = depth_s
 
     # pose encoder: duplicate conv1 across the 2-frame input and halve
-    pose_enc_p, pose_enc_s = resnet_torch_to_flax(sd)
+    pose_sd = load_torch_state_dict(pose_path) if pose_path else sd
+    pose_enc_p, pose_enc_s = resnet_torch_to_flax(pose_sd)
     k = pose_enc_p["conv1"]["conv"]["kernel"]
     pose_enc_p["conv1"]["conv"]["kernel"] = np.concatenate([k, k], axis=2) / 2.0
     pose_p = dict(params["pose"])

@@ -144,10 +144,33 @@ class Trainer:
                     depth=init_disp_bias(self.state.params["depth"], cfg.method.disp_init_bias),
                 )
             )
-        if cfg.model.weights_init == "pretrained" and cfg.model.pretrained_path:
+        if cfg.model.weights_init == "pretrained":
             from baseboostdepth_tpu.models.torch_import import load_pretrained_encoder
 
-            self.state = load_pretrained_encoder(self.state, cfg.model.pretrained_path, cfg.model.zoo)
+            # Resolve depth-encoder weights: an explicit --model.pretrained_path,
+            # else auto-fetch the torchvision ImageNet ResNet like the
+            # reference does implicitly (networks/resnet_encoder.py:46-53).
+            depth_layers = {"md2": cfg.model.num_layers, "sql": 50, "sql_large": 50, "cadepth": 50}
+            depth_path = cfg.model.pretrained_path
+            pose_path = None
+            if depth_path is None:
+                from baseboostdepth_tpu.utils.download import fetch_torchvision_resnet
+
+                if cfg.model.zoo not in depth_layers:
+                    raise SystemExit(
+                        f"--model.weights_init pretrained for zoo {cfg.model.zoo!r} "
+                        "needs --model.pretrained_path (mpvit_small.pth / hrnet18 "
+                        "ImageNet weights have no stable public URL; see "
+                        "utils/download.py)"
+                    )
+                depth_path = fetch_torchvision_resnet(depth_layers[cfg.model.zoo])
+            if depth_layers.get(cfg.model.zoo, 0) != 18:
+                from baseboostdepth_tpu.utils.download import fetch_torchvision_resnet
+
+                pose_path = fetch_torchvision_resnet(18)  # pose pair is always RN18
+            self.state = load_pretrained_encoder(
+                self.state, depth_path, cfg.model.zoo, pose_path=pose_path
+            )
         self.state = replicate(self.state, self.mesh)
 
         self.ckpt = CheckpointManager(os.path.join(self.log_path, "checkpoints"))
@@ -155,6 +178,27 @@ class Trainer:
         self.start_batch = 0
         self.best_abs_rel = 10.0
         latest = self.ckpt.latest_step()
+        if jax.process_count() > 1:
+            # Checkpoints are written by the lead process only, but every
+            # process restores via its own latest_step(). On a non-shared
+            # checkpoint filesystem the non-lead hosts would silently resume
+            # at epoch 0 while the lead skips mid-epoch, desyncing loader
+            # streams and hanging collectives -- fail loudly instead.
+            from jax.experimental import multihost_utils
+
+            lead_latest = int(
+                multihost_utils.broadcast_one_to_all(
+                    np.int64(-1 if latest is None else latest)
+                )
+            )
+            mine = -1 if latest is None else int(latest)
+            if mine != lead_latest:
+                raise RuntimeError(
+                    f"process {jax.process_index()} sees checkpoint step "
+                    f"{mine} but the lead sees {lead_latest}: the checkpoint "
+                    f"dir ({self.ckpt.directory}) must be on a filesystem "
+                    "shared by all hosts"
+                )
         if latest is not None:
             self.state, extra = self.ckpt.restore(self.state, latest)
             extra = extra or {}

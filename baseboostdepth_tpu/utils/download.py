@@ -50,12 +50,71 @@ MODEL_URLS = {
 }
 
 
+# torchvision ImageNet classification weights. The reference fetches these
+# implicitly through torchvision's model zoo when it builds encoders with
+# pretrained=True (networks/resnet_encoder.py:46-53, torchvision 0.9 per
+# environment.yml); here the fetch is explicit and checksum-verified. Each
+# filename embeds the first 8 sha256 hex chars (the torch.hub convention),
+# which fetch_torchvision_resnet verifies after download.
+TORCHVISION_RESNETS = {
+    18: "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    34: "https://download.pytorch.org/models/resnet34-333f7ec4.pth",
+    50: "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+    101: "https://download.pytorch.org/models/resnet101-5d3b4d8f.pth",
+    152: "https://download.pytorch.org/models/resnet152-b121ed2d.pth",
+}
+
+
 def _md5(path: str) -> str:
     h = hashlib.md5()
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     return h.hexdigest()
+
+
+def _sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def fetch_torchvision_resnet(num_layers: int, models_dir: str = "models") -> str:
+    """Fetch the torchvision ImageNet resnet{num_layers} .pth (the implicit
+    download the reference triggers at networks/resnet_encoder.py:46-53) and
+    return its local path. Verified against the sha256 prefix embedded in
+    the filename; an already-verified local copy is a no-op.
+    """
+    if num_layers not in TORCHVISION_RESNETS:
+        raise KeyError(
+            f"no torchvision resnet{num_layers}; known: {sorted(TORCHVISION_RESNETS)}"
+        )
+    url = TORCHVISION_RESNETS[num_layers]
+    fname = url.rsplit("/", 1)[1]
+    path = os.path.join(models_dir, fname)
+    want_prefix = fname.rsplit("-", 1)[1].split(".")[0]
+    if os.path.exists(path) and _sha256(path).startswith(want_prefix):
+        return path
+    os.makedirs(models_dir, exist_ok=True)
+    import urllib.request
+
+    print(f"-> downloading ImageNet weights {url} -> {path}")
+    try:
+        urllib.request.urlretrieve(url, path)
+    except OSError as e:
+        raise RuntimeError(
+            f"ImageNet weight download failed ({e}); this environment may "
+            f"have no network egress -- fetch {url} elsewhere, place it at "
+            f"{path}, or pass --model.pretrained_path to a local .pth"
+        ) from e
+    got = _sha256(path)
+    if not got.startswith(want_prefix):
+        raise RuntimeError(
+            f"checksum mismatch for {path}: sha256 {got[:8]}..., want prefix {want_prefix}"
+        )
+    return path
 
 
 def download_model_if_doesnt_exist(
@@ -84,7 +143,12 @@ def download_model_if_doesnt_exist(
         return model_path
 
     zip_path = model_path + ".zip"
-    if not (os.path.exists(zip_path) and md5 is not None and _md5(zip_path) == md5):
+    have_zip = os.path.exists(zip_path)
+    if have_zip and md5 is None:
+        # Explicit --url with no checksum: trust the existing file rather
+        # than re-fetching it (we could not verify the re-download either).
+        print(f"-> {zip_path} exists and no md5 given; skipping re-download")
+    if not (have_zip and (md5 is None or _md5(zip_path) == md5)):
         import urllib.request
 
         print(f"-> downloading {url} -> {zip_path}")

@@ -48,6 +48,52 @@ def test_infer_cli(saved_checkpoint, tmp_path):
     assert disp.shape == (H, W)
 
 
+def test_visualize_absrel_overlay(saved_checkpoint, tmp_path, monkeypatch):
+    """visualize stitches a comparison video and, given GT depths, stamps a
+    per-frame abs_rel on each model panel (reference validation.py:179,
+    269-273)."""
+    cv2 = pytest.importorskip("cv2")
+    from baseboostdepth_tpu.cli import visualize
+
+    root, cfg_path, ckpt = saved_checkpoint
+    rng = np.random.default_rng(3)
+    img_dir = tmp_path / "frames"
+    img_dir.mkdir()
+    n = 2
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 96, 3), dtype=np.uint8)
+        ).save(img_dir / f"{i:06d}.jpg")
+
+    yy = np.linspace(2, 50, 40)[:, None] * np.ones((1, 120))
+    gt = np.empty(n, dtype=object)
+    for i in range(n):
+        gt[i] = yy.astype(np.float32)
+    gt_npz = tmp_path / "gt_depths.npz"
+    np.savez_compressed(gt_npz, data=gt)
+
+    labels = []
+    orig_put_text = cv2.putText
+
+    def record(img, text, *a, **k):
+        labels.append(text)
+        return orig_put_text(img, text, *a, **k)
+
+    monkeypatch.setattr(cv2, "putText", record)
+
+    out = tmp_path / "cmp.avi"
+    visualize.main([
+        "--image_dir", str(img_dir), "--out", str(out),
+        "--model", f"{cfg_path}:{ckpt}", "--gt_npz", str(gt_npz),
+    ])
+    assert out.exists() and out.stat().st_size > 0
+    assert len(labels) == n
+    assert all("abs_rel=" in t for t in labels)
+    # the stamped value is a finite number
+    v = float(labels[0].rsplit("=", 1)[1])
+    assert np.isfinite(v) and v >= 0
+
+
 def test_evaluate_depth_ext_disp(saved_checkpoint, tmp_path, capsys):
     from baseboostdepth_tpu.cli.evaluate_depth import main
 

@@ -134,6 +134,66 @@ class TestDecoderImport:
         assert _tree_shapes(params) == _tree_shapes(v["params"]["decoder"])
 
 
+class TestPretrainedEncoderInit:
+    """load_pretrained_encoder: ImageNet start for a ResNet-50 zoo with a
+    separate ResNet-18 pose file (reference fetches both implicitly via
+    torchvision, networks/resnet_encoder.py:46-53)."""
+
+    class _State:
+        def __init__(self, params, stats):
+            self.params, self.stats = params, stats
+
+        def replace(self, **kw):
+            return TestPretrainedEncoderInit._State(
+                kw.get("params", self.params), kw.get("stats", self.stats)
+            )
+
+    def test_cadepth_rn50_depth_rn18_pose(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from torch_zoo_refs import make_resnet50
+
+        from baseboostdepth_tpu.models.cadepth import CADepthNet
+        from baseboostdepth_tpu.models import build_pose_net
+        from baseboostdepth_tpu.models.torch_import import load_pretrained_encoder
+
+        rng = np.random.default_rng(7)
+        rn50_sd = {k: v for k, v in make_resnet50().state_dict().items()}
+        rn18_sd = {k: torch.from_numpy(v) for k, v in _make_torch_resnet18_sd(rng).items()}
+        p50, p18 = str(tmp_path / "rn50.pth"), str(tmp_path / "rn18.pth")
+        torch.save(rn50_sd, p50)
+        torch.save(rn18_sd, p18)
+
+        depth_v = CADepthNet().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+        )
+        pose_v = build_pose_net().init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 6)), train=False
+        )
+        state = self._State(
+            params={"depth": dict(depth_v["params"]), "pose": dict(pose_v["params"])},
+            stats={"depth": dict(depth_v["batch_stats"]), "pose": dict(pose_v["batch_stats"])},
+        )
+        out = load_pretrained_encoder(state, p50, "cadepth", pose_path=p18)
+
+        # depth encoder conv1 took the rn50 weights (OIHW -> HWIO)
+        got = out.params["depth"]["encoder"]["conv1"]["conv"]["kernel"]
+        want = np.transpose(rn50_sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+        np.testing.assert_array_equal(got, want)
+        # pose conv1 is the rn18 conv1 tiled over 6 channels and halved
+        # (networks/resnet_encoder.py:49-52)
+        pg = out.params["pose"]["encoder"]["conv1"]["conv"]["kernel"]
+        w18 = np.transpose(rn18_sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+        assert pg.shape == (7, 7, 6, 64)
+        np.testing.assert_allclose(pg, np.concatenate([w18, w18], axis=2) / 2.0, rtol=1e-6)
+        # untouched leaves (decoder) keep their init values
+        np.testing.assert_array_equal(
+            out.params["depth"]["decoder"]["dispconv_0"]["conv"]["kernel"],
+            depth_v["params"]["decoder"]["dispconv_0"]["conv"]["kernel"],
+        )
+
+
 class TestMPViTImport:
     def test_structure_matches_flax_init(self):
         """Synthetic vendored-MPViT state dict converts onto our MPViT tree
