@@ -96,6 +96,21 @@ class StepStatic:
     # the largest step component (~81 ms of ~248 at F=7); 0.5 cuts its FLOPs
     # 4x. The reference always uses full resolution (trainer.py:348-418).
     pose_input_scale: float = 1.0
+    # rematerialization (jax.checkpoint): recompute the net's forward during
+    # the backward pass instead of saving activations to HBM. Loss-exact;
+    # trades FLOPs for HBM traffic on a step that is memory-bound per XLA's
+    # byte counting (bench pct_sol). A/B knobs -- see the CLAUDE.md ledger
+    # for measured verdicts before changing the defaults.
+    remat_pose: bool = False
+    remat_depth: bool = False
+    # warp batching: compute the main-slot and error-pose warps in ONE
+    # warp_all call (one grid matmul batch + one packed-kernel sweep over
+    # 2S-1 slots) instead of two back-to-back calls. Loss-exact (the warp is
+    # slot-independent elementwise work; tests/test_train_step.py). A/B knob:
+    # step accounting attributed 41 ms to the error-pose warps vs 9.9 for
+    # the main slots -- if that asymmetry is per-call fusion/overhead, one
+    # call reclaims it.
+    merged_warp: bool = False
 
     @property
     def metric_depth(self) -> bool:
@@ -350,8 +365,16 @@ def predict_poses(
         flat = resize_bilinear(flat, ph, pw)
     pvars = {"params": pose_params, "batch_stats": pose_stats}
     if train:
-        (aa, t), pmut = pose_net.apply(pvars, flat, train=True, mutable=["batch_stats"])
-        new_pstats = pmut["batch_stats"]
+        def _apply(p, s, x):
+            (a_, t_), pmut = pose_net.apply(
+                {"params": p, "batch_stats": s}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return a_, t_, pmut["batch_stats"]
+
+        if st.remat_pose:
+            _apply = jax.checkpoint(_apply)
+        aa, t, new_pstats = _apply(pose_params, pose_stats, flat)
     else:
         aa, t = pose_net.apply(pvars, flat, train=False)
         new_pstats = pose_stats
@@ -399,11 +422,18 @@ def loss_forward(
     # ---- depth forward on the augmented target frame ----
     dvars = {"params": params["depth"], "batch_stats": stats["depth"]}
     if train:
-        disps, dmut = depth_net.apply(
-            dvars, aug[:, F].astype(cdt), train=True, mutable=["batch_stats"],
-            rngs={"dropout": drop_key},
+        def _depth_apply(p, s, x):
+            d_, dmut = depth_net.apply(
+                {"params": p, "batch_stats": s}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": drop_key},
+            )
+            return tuple(d_), dmut["batch_stats"]
+
+        if st.remat_depth:
+            _depth_apply = jax.checkpoint(_depth_apply)
+        disps, new_dstats = _depth_apply(
+            params["depth"], stats["depth"], aug[:, F].astype(cdt)
         )
-        new_dstats = dmut["batch_stats"]
     else:
         disps = depth_net.apply(dvars, aug[:, F].astype(cdt), train=False)
         new_dstats = stats["depth"]
@@ -494,21 +524,24 @@ def loss_forward(
             check_vma=False,
         )
 
-    def warp_all(depth_hw, Ts):
-        """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slots gather
-        their own source image). On TPU with uint8 sources the packed
-        Pallas kernel fetches all three channels per gather."""
+    def warp_all(depth_hw, Ts, src_u8=None, src_f=None):
+        """depth [B,H,W], Ts [B,S,4,4] -> warped [B,S,H,W,3] (slot i gathers
+        source image i unless explicit per-slot sources are passed). On TPU
+        with uint8 sources the packed Pallas kernel fetches all three
+        channels per gather."""
         S = Ts.shape[1]
         depth_r = jnp.broadcast_to(depth_hw[:, None], (B, S, H, W)).reshape(B * S, H, W)
         K_r = jnp.repeat(K, S, axis=0)
         iK_r = jnp.repeat(inv_K, S, axis=0)
         grid = geometry.warp_grid(depth_r, K_r, iK_r, Ts.reshape(B * S, 4, 4))
         if use_packed:
+            src = sources_raw[:, :S] if src_u8 is None else src_u8
             return packed_warp(
-                sources_raw[:, :S].reshape(B * S, H, W, 3), grid
+                src.reshape(B * S, H, W, 3), grid
             ).reshape(B, S, H, W, 3)
+        src = sources[:, :S] if src_f is None else src_f
         return warp_fn(
-            sources[:, :S].reshape(B * S, H, W, 3), grid
+            src.reshape(B * S, H, W, 3), grid
         ).reshape(B, S, H, W, 3)
 
     total = 0.0
@@ -521,15 +554,30 @@ def loss_forward(
         else:
             _, depth = geometry.disp_to_depth(disp_full[..., 0], st.min_depth, st.max_depth)
 
-        warped = warp_all(depth, T_slots)
+        if T_err is not None and st.merged_warp:
+            # error slot i reuses main slot i's source (T_err has S-1 slots)
+            S_main, S_err = T_slots.shape[1], T_err.shape[1]
+            both = warp_all(
+                depth,
+                jnp.concatenate([T_slots, T_err], axis=1),
+                src_u8=jnp.concatenate(
+                    [sources_raw[:, :S_main], sources_raw[:, :S_err]], axis=1
+                ),
+                src_f=jnp.concatenate(
+                    [sources[:, :S_main], sources[:, :S_err]], axis=1
+                ),
+            )
+            warped, warped_e = both[:, :S_main], both[:, S_main:]
+        else:
+            warped = warp_all(depth, T_slots)
+            warped_e = warp_all(depth, T_err) if T_err is not None else None
         warp_l = losses.slot_losses(
             target, warped, slot_valid, use_ssim=st.use_ssim, photo_fn=photo_fn,
             impl="xla",
         )
 
         err_l = None
-        if T_err is not None:
-            warped_e = warp_all(depth, T_err)
+        if warped_e is not None:
             err_l = losses.slot_losses(
                 target, warped_e, slot_valid[:, :-1], use_ssim=st.use_ssim,
                 photo_fn=photo_fn, impl="xla",

@@ -1,6 +1,12 @@
 """Benchmark: steady-state training throughput of the full BaseBoostDepth
-method (late curriculum stage: F=7, tri-min + incremental + partial + decomp,
+method (late curriculum stage: tri-min + incremental + partial + decomp,
 scale [0]) on the flagship Monodepth2 ResNet-18 config at 640x192, batch 12.
+
+Default mode times every bucket class of the default bucketed loader
+(--data.bucket_fs 2,5,7) and reports the mix-weighted realistic-epoch
+throughput -- what the default training config actually achieves -- plus the
+worst-case (F=7) rate and its roofline numbers in the same JSON. `--worst`
+reports just the single worst-case class (the pre-round-4 headline).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -87,6 +93,27 @@ def main(argv=None):
                     help="stage max temporal offset (bucket-class timing: 2/5/7)")
     ap.add_argument("--pose_input_scale", type=float, default=1.0,
                     help="opt-in perf mode (model.pose_input_scale)")
+    ap.add_argument("--merged_warp", action="store_true",
+                    help="A/B: main-slot + error-pose warps in one grid "
+                    "matmul batch + one packed-kernel sweep (2S-1 slots) "
+                    "instead of two calls; loss-exact")
+    ap.add_argument("--remat", default="none",
+                    choices=["none", "pose", "depth", "both"],
+                    help="A/B: jax.checkpoint the pose/depth nets (recompute "
+                    "fwd in bwd; trades FLOPs for HBM traffic)")
+    ap.add_argument("--mix", action="store_true", default=None,
+                    help="time every bucket class (F=2/5/7, the default "
+                    "--data.bucket_fs) in one process and emit the "
+                    "mix-weighted realistic-epoch throughput. This is the "
+                    "DEFAULT mode (it is what the default bucketed training "
+                    "config runs); --worst for the single-F metric")
+    ap.add_argument("--worst", action="store_true",
+                    help="single worst-case class metric (--F, default 7) "
+                    "instead of the realistic mix")
+    ap.add_argument("--mix_weights", default="2=0.35,5=0.20,7=0.45",
+                    help="late-epoch window distribution from the curriculum "
+                    "cutoff filter + 30%% mini shrink over the eigen_zhou "
+                    "baseline column (CLAUDE.md ledger)")
     args = ap.parse_args(argv)
 
     # the tunneled TPU backend HANGS (not errors) when the relay is down;
@@ -132,98 +159,143 @@ def main(argv=None):
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step
 
-    H, W, F, B = 192, 640, args.F, args.batch_size
+    H, W, B = 192, 640, args.batch_size
 
-    st = StepStatic(
-        zoo=args.zoo,
-        num_layers=ZOO_NUM_LAYERS[args.zoo],
-        height=H,
-        width=W,
-        F=F,
-        scales=(0,),
-        trimin=True,
-        incremental=True,
-        partial=True,
-        decomp=True,
-        pose_error=5.5,
-        dtype="bfloat16",  # the default training config (fp32 params/losses)
-        warp_impl=args.warp,
-        pose_input_scale=args.pose_input_scale,
-    )
-    opt = make_optimizer(steps_per_epoch=3317, vit=(args.zoo == "monovit"))
-    state = init_state(st, opt, jax.random.PRNGKey(0))
-    state = state.replace(params=inject_realistic_pose_bias(state.params))
+    def time_class(F):
+        """Build + time one bucket class's compiled step; returns
+        (sec/step, flops, hbm_bytes)."""
+        st = StepStatic(
+            zoo=args.zoo,
+            num_layers=ZOO_NUM_LAYERS[args.zoo],
+            height=H,
+            width=W,
+            F=F,
+            scales=(0,),
+            trimin=True,
+            incremental=True,
+            partial=True,
+            decomp=True,
+            pose_error=5.5,
+            dtype="bfloat16",  # the default training config (fp32 params/losses)
+            warp_impl=args.warp,
+            pose_input_scale=args.pose_input_scale,
+            remat_pose=args.remat in ("pose", "both"),
+            remat_depth=args.remat in ("depth", "both"),
+            merged_warp=args.merged_warp,
+        )
+        opt = make_optimizer(steps_per_epoch=3317, vit=(args.zoo == "monovit"))
+        state = init_state(st, opt, jax.random.PRNGKey(0))
+        state = state.replace(params=inject_realistic_pose_bias(state.params))
 
-    rng = np.random.default_rng(0)
-    NF = num_frames(F)
-    frames = rng.integers(0, 255, (B, NF, H, W, 3), dtype=np.uint8)
-    f_max = np.full(B, F)  # worst-case: every sample at the max baseline
-    K = np.broadcast_to(
-        np.array(
-            [[0.58 * W, 0, 0.5 * W, 0], [0, 1.92 * H, 0.5 * H, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
-            np.float32,
-        ),
-        (B, 4, 4),
-    ).copy()
-    stereo_T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
-    stereo_T[:, 0, 3] = 0.1
-    jitter = np.ones((B, NF, 4), np.float32)
-    jitter[..., 3] = 0.0
-    batch = make_batch(frames, f_max, K, stereo_T, np.zeros(B, bool), jitter, F, True, True)
-    batch = jax.tree.map(jax.numpy.asarray, batch)
+        rng = np.random.default_rng(0)
+        NF = num_frames(F)
+        frames = rng.integers(0, 255, (B, NF, H, W, 3), dtype=np.uint8)
+        f_max = np.full(B, F)  # worst-case: every sample at the class budget
+        K = np.broadcast_to(
+            np.array(
+                [[0.58 * W, 0, 0.5 * W, 0], [0, 1.92 * H, 0.5 * H, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+                np.float32,
+            ),
+            (B, 4, 4),
+        ).copy()
+        stereo_T = np.broadcast_to(np.eye(4, dtype=np.float32), (B, 4, 4)).copy()
+        stereo_T[:, 0, 3] = 0.1
+        jitter = np.ones((B, NF, 4), np.float32)
+        jitter[..., 3] = 0.0
+        batch = make_batch(frames, f_max, K, stereo_T, np.zeros(B, bool), jitter, F, True, True)
+        batch = jax.tree.map(jax.numpy.asarray, batch)
 
-    step_fn = make_train_step(st, opt)
-    flops, hbm_bytes = compiled_costs(step_fn, state, batch, jax.random.PRNGKey(1))
+        step_fn = make_train_step(st, opt)
+        flops, hbm_bytes = compiled_costs(step_fn, state, batch, jax.random.PRNGKey(1))
 
-    # warmup / compile
-    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(metrics["loss"])
-    # the tunneled platform's block_until_ready does not block; force a
-    # scalar readback for timing (CLAUDE.md)
-    float(metrics["loss"])
+        # warmup / compile
+        state2, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+        jax.block_until_ready(metrics["loss"])
+        # the tunneled platform's block_until_ready does not block; force a
+        # scalar readback for timing (CLAUDE.md)
+        float(metrics["loss"])
 
-    iters = args.iters
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, metrics = step_fn(state, batch, jax.random.PRNGKey(2 + i))
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / iters
-
-    imgs_per_sec = B / dt
-    n_chips = 1  # bench runs on one chip; metric is per-chip
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state2, metrics = step_fn(state2, batch, jax.random.PRNGKey(2 + i))
+        float(metrics["loss"])
+        return (time.perf_counter() - t0) / args.iters, flops, hbm_bytes
 
     platform = jax.devices()[0].platform
     peak = PEAK_FLOPS_BY_PLATFORM.get(platform)
-    mfu = (flops / (dt * peak)) if (flops and peak) else None
-    # combined speed-of-light: max(compute floor, memory floor) per step.
     hbm_bw = HBM_BW_BY_PLATFORM.get(platform)
-    sol_ms = None
-    if flops and peak and hbm_bytes and hbm_bw:
-        sol_ms = max(flops / peak, hbm_bytes / hbm_bw) * 1e3
+
+    def roofline_fields(dt, flops, hbm_bytes):
+        out = {"step_ms": round(dt * 1e3, 1)}
+        if flops:
+            out["flops_per_step"] = round(flops)
+        if flops and peak:
+            mfu = flops / (dt * peak)
+            out["mfu"] = round(mfu, 4)
+            out["pct_roofline"] = round(100 * mfu, 2)
+        if hbm_bytes:
+            out["hbm_bytes_per_step"] = round(hbm_bytes)
+        if flops and peak and hbm_bytes and hbm_bw:
+            # combined speed-of-light: max(compute floor, memory floor);
+            # pct_sol = fraction of that roofline this step achieves
+            sol_ms = max(flops / peak, hbm_bytes / hbm_bw) * 1e3
+            out["sol_ms"] = round(sol_ms, 1)
+            out["pct_sol"] = round(100 * sol_ms / (dt * 1e3), 2)
+        return out
+
+    if args.mix or not args.worst:
+        # measured (not extrapolated) realistic-epoch throughput of the
+        # default bucketed loader (--data.bucket_fs 2,5,7): each class runs
+        # its own compiled shape; blended rate = 1 / sum(mix_c * t_c / B)
+        weights = {}
+        for part in args.mix_weights.split(","):
+            k, v = part.split("=")
+            weights[int(k)] = float(v)
+        assert abs(sum(weights.values()) - 1.0) < 1e-6, "mix must sum to 1"
+        times_ms = {}
+        worst_costs = None
+        for F in sorted(weights):
+            dt_c, flops_c, hbm_c = time_class(F)
+            times_ms[F] = round(dt_c * 1e3, 1)
+            worst_costs = (dt_c, flops_c, hbm_c)  # classes ascend; last = worst
+            print(f"# class F={F}: {dt_c * 1e3:.1f} ms "
+                  f"({B / dt_c:.1f} imgs/s)", file=sys.stderr)
+        sec_per_img = sum(weights[c] * (times_ms[c] / 1e3) / B for c in weights)
+        blended = 1.0 / sec_per_img
+        worst = B / (max(times_ms.values()) / 1e3)
+        out = {
+            "metric": "train_imgs_per_sec_per_chip_realistic_mix_640x192",
+            "value": round(blended, 2),
+            "unit": "imgs/sec/chip",
+            "vs_baseline": round(blended / REFERENCE_IMGS_PER_SEC, 3),
+            "class_step_ms": {str(k): v for k, v in times_ms.items()},
+            "mix": {str(k): v for k, v in weights.items()},
+            "worst_case_imgs_per_sec": round(worst, 2),
+            "speedup_vs_pad_to_max": round(blended / worst, 3),
+        }
+        # roofline numbers for the worst (F=7) class, same as --worst reports
+        wf = roofline_fields(*worst_costs)
+        wf.pop("step_ms", None)  # already in class_step_ms
+        out.update({f"worst_{k}": v for k, v in wf.items()})
+        print(json.dumps(out))
+        return
+
+    dt, flops, hbm_bytes = time_class(args.F)
+    imgs_per_sec = B / dt
+    n_chips = 1  # bench runs on one chip; metric is per-chip
 
     out = {
         "metric": "train_imgs_per_sec_per_chip_full_method_640x192"
         + ("" if args.zoo == "md2" else f"_{args.zoo}")
         + ("" if args.F == 7 else f"_F{args.F}")
-        + ("" if args.pose_input_scale == 1.0 else f"_ps{args.pose_input_scale}"),
+        + ("" if args.pose_input_scale == 1.0 else f"_ps{args.pose_input_scale}")
+        + ("" if args.remat == "none" else f"_remat_{args.remat}")
+        + ("_mergedwarp" if args.merged_warp else ""),
         "value": round(imgs_per_sec / n_chips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / n_chips / REFERENCE_IMGS_PER_SEC, 3),
-        "step_ms": round(dt * 1e3, 1),
     }
-    if flops:
-        out["flops_per_step"] = round(flops)
-    if mfu is not None:
-        out["mfu"] = round(mfu, 4)
-        out["pct_roofline"] = round(100 * mfu, 2)
-    if hbm_bytes:
-        out["hbm_bytes_per_step"] = round(hbm_bytes)
-    if sol_ms is not None:
-        # fraction of the roofline-model speed-of-light this step achieves,
-        # counting BOTH rooflines (memory-bound floor dominates here: the
-        # method is elementwise/gather-heavy at small channel counts)
-        out["sol_ms"] = round(sol_ms, 1)
-        out["pct_sol"] = round(100 * sol_ms / (dt * 1e3), 2)
+    out.update(roofline_fields(dt, flops, hbm_bytes))
     print(json.dumps(out))
 
 

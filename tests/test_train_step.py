@@ -339,6 +339,69 @@ class TestPosePlumbing:
                 )
 
 
+def test_remat_is_loss_and_grad_exact():
+    """remat_pose/remat_depth (jax.checkpoint) must not change the loss or
+    the gradients -- it only changes what is saved vs recomputed."""
+    import dataclasses
+
+    st = _static(2, True, (0,))
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    batch = _toy_batch(np.random.default_rng(1), 3, 2)
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    def loss_and_grads(st_v):
+        grad_fn = jax.value_and_grad(loss_forward, has_aux=True)
+        (loss, _), grads = grad_fn(
+            state.params, state.stats, batch, jax.random.PRNGKey(2), st_v, True
+        )
+        return float(loss), grads
+
+    base_loss, base_grads = loss_and_grads(st)
+    remat_loss, remat_grads = loss_and_grads(
+        dataclasses.replace(st, remat_pose=True, remat_depth=True)
+    )
+    # not bit-exact: rematerialization changes XLA fusion and thus float
+    # summation order (measured max leaf delta 4.8e-6 on grads of ~1e-3)
+    assert base_loss == pytest.approx(remat_loss, abs=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-5),
+        base_grads, remat_grads,
+    )
+
+
+def test_merged_warp_is_loss_and_grad_exact():
+    """merged_warp (main + error-pose warps in one warp_all call) must
+    reproduce the two-call loss and gradients: the warp is slot-independent
+    elementwise work, so batching slots differently cannot change values
+    (only float summation order inside the 4x4 grid matmuls, which are
+    fp32-forced and per-element deterministic)."""
+    import dataclasses
+
+    st = _static(2, True, (0,))  # incremental+partial+decomp: T_err active
+    opt = optax.adam(1e-4)
+    state = init_state(st, opt, jax.random.PRNGKey(0))
+    batch = _toy_batch(np.random.default_rng(1), 3, 2)
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    def loss_and_grads(st_v):
+        grad_fn = jax.value_and_grad(loss_forward, has_aux=True)
+        (loss, _), grads = grad_fn(
+            state.params, state.stats, batch, jax.random.PRNGKey(2), st_v, True
+        )
+        return float(loss), grads
+
+    base_loss, base_grads = loss_and_grads(st)
+    merged_loss, merged_grads = loss_and_grads(
+        dataclasses.replace(st, merged_warp=True)
+    )
+    assert base_loss == pytest.approx(merged_loss, abs=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7),
+        base_grads, merged_grads,
+    )
+
+
 def test_vit_optimizer_grouping():
     """MonoViT two-group AdamW: depth-encoder params get the lower LR
     (reference trainer.py:106-109). Verify the label function routes the

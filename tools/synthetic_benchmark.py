@@ -99,6 +99,9 @@ def main():
                     help="cold-start disparity-head bias (method.disp_init_bias)")
     ap.add_argument("--pose-scale", type=float, default=1.0,
                     help="model.pose_input_scale (perf mode; quantify here)")
+    ap.add_argument("--no-bucket", action="store_true",
+                    help="disable f_max bucketing (data.bucket_fs=()); A/B "
+                    "the default-on bucketed loader's accuracy impact")
     args = ap.parse_args()
 
     from baseboostdepth_tpu.utils.jax_setup import setup_jax
@@ -131,10 +134,14 @@ def main():
     cfg.method.curriculum_switch_epoch = args.switch_epoch
     cfg.method.disp_init_bias = args.disp_bias
     cfg.model.pose_input_scale = args.pose_scale
+    if args.no_bucket:
+        cfg.data.bucket_fs = ()
     suffix = "" if args.zoo == "md2" else f"_{args.zoo}"
     suffix += "" if args.disp_bias is None else f"_bias{args.disp_bias}"
     if args.pose_scale != 1.0:
         suffix += f"_ps{args.pose_scale}"
+    if args.no_bucket:
+        suffix += "_nobucket"
     if args.seed != 0:
         suffix += f"_seed{args.seed}"
     cfg.log.model_name = f"synth_bench_{args.dtype}{suffix}"
@@ -156,6 +163,10 @@ def main():
 
     out = {
         "dtype": args.dtype,
+        "zoo": args.zoo,
+        "disp_bias": args.disp_bias,
+        "pose_input_scale": args.pose_scale,
+        "bucket_fs": list(cfg.data.bucket_fs),
         "epochs": args.epochs,
         "n_frames": args.n_frames,
         "resolution": [args.height, args.width],
