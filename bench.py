@@ -135,7 +135,7 @@ def main(argv=None):
             subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp; float(jnp.sum(jnp.ones((8, 128))))"],
-                timeout=120, check=True, capture_output=True,
+                timeout=180, check=True, capture_output=True,
             )
             last_err = None
             break
