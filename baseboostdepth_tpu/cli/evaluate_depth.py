@@ -53,9 +53,21 @@ def main(argv=None):
             fix_imports=True, encoding="latin1", allow_pickle=True,
         )["data"]
         protocol = M.EvalProtocol.stereo() if args.stereo else M.EvalProtocol.mono()
-        mean_errors, _ = M.evaluate_disparities(disps, list(gt), protocol)
+        # same input interpretation as the live eval (SQL saves metric depth,
+        # not disparity), so scoring a --save_pred_disps file reproduces the
+        # live run bit-for-bit
+        from baseboostdepth_tpu.models import DEPTH_IS_METRIC
+
+        protocol.disp_input = cfg.model.zoo not in DEPTH_IS_METRIC
+        mean_errors, ratios = M.evaluate_disparities(disps, list(gt), protocol)
         result = dict(zip(M.METRIC_NAMES, mean_errors.tolist()))
+        if len(ratios):
+            med = np.median(ratios)
+            result["median_ratio"] = float(med)
+            result["ratio_std"] = float(np.std(ratios / med))
         print_metrics(result)
+        for k, v in result.items():
+            print(f"{k}: {v:.6f}")
         return
 
     st = StepStatic(
@@ -76,7 +88,7 @@ def main(argv=None):
         )
     print_metrics(result)
     for k, v in result.items():
-        print(f"{k}: {v:.4f}")
+        print(f"{k}: {v:.6f}")
 
 
 if __name__ == "__main__":

@@ -20,6 +20,18 @@ def to_log(depth: np.ndarray) -> np.ndarray:
     return (depth > 0) * np.log(depth.clip(min=1.1920928955078125e-07))
 
 
+def _suffix(split_dir: str, which: str) -> str:
+    """GT filename suffix. A val export is tagged `_val` only when the split
+    ALSO has a test set -- so it can never clobber the test GT (SYNS has
+    both; evaluation/syns.py reads the *_val.npz sidecars for the online
+    val). A val-only split (eigen_zhou) keeps the plain name: its val GT IS
+    the file the Trainer's online validation and the reference's exporter
+    use (export_gt_depth.py:32-34 reads val_files for eigen_zhou but still
+    writes gt_depths.npz)."""
+    has_test = os.path.exists(os.path.join(split_dir, "test_files.txt"))
+    return "_val" if (which == "val" and has_test) else ""
+
+
 def export_kitti(split: str, kt_path: str, splits_dir: str, which: str = "test"):
     from PIL import Image
 
@@ -27,6 +39,12 @@ def export_kitti(split: str, kt_path: str, splits_dir: str, which: str = "test")
     from baseboostdepth_tpu.utils import readlines
 
     split_dir = os.path.join(splits_dir, split)
+    # val-only splits (eigen_zhou) export their val list by default, exactly
+    # as the reference does (export_gt_depth.py:32-34)
+    if which == "test" and not os.path.exists(
+        os.path.join(split_dir, "test_files.txt")
+    ):
+        which = "val"
     fname = {"test": "test_files.txt", "val": "val_files.txt"}[which]
     lines = readlines(os.path.join(split_dir, fname))
 
@@ -50,7 +68,7 @@ def export_kitti(split: str, kt_path: str, splits_dir: str, which: str = "test")
         else:
             raise ValueError(f"no GT exporter for split {split}")
 
-    out = os.path.join(split_dir, "gt_depths.npz" if which == "test" else "gt_depths.npz")
+    out = os.path.join(split_dir, f"gt_depths{_suffix(split_dir, which)}.npz")
     np.savez_compressed(out, data=np.array(gt_depths, dtype=object))
     print(f"wrote {out}")
 
@@ -75,9 +93,15 @@ def export_syns_edges(syns_path: str, splits_dir: str, which: str = "test"):
         dy = cv2.Sobel(src=d, ddepth=cv2.CV_64F, dx=0, dy=1, ksize=5)
         mag = np.sqrt(dx**2 + dy**2)[..., None]
         gt_edges.append(mag > mag.mean())
-    np.savez_compressed(os.path.join(split_dir, "gt_depths.npz"), data=np.array(gt_depths, dtype=object))
-    np.savez_compressed(os.path.join(split_dir, "gt_edges.npz"), data=np.array(gt_edges, dtype=object))
-    print(f"wrote SYNS gt_depths.npz / gt_edges.npz ({len(lines)} samples)")
+    # which="val" writes the *_val.npz sidecars evaluation/syns.py reads for
+    # the online SYNS validation (file_name='val_files.txt' -> suffix '_val')
+    suffix = _suffix(split_dir, which)
+    np.savez_compressed(os.path.join(split_dir, f"gt_depths{suffix}.npz"),
+                        data=np.array(gt_depths, dtype=object))
+    np.savez_compressed(os.path.join(split_dir, f"gt_edges{suffix}.npz"),
+                        data=np.array(gt_edges, dtype=object))
+    print(f"wrote SYNS gt_depths{suffix}.npz / gt_edges{suffix}.npz "
+          f"({len(lines)} samples)")
 
 
 def main(argv=None):

@@ -27,6 +27,14 @@ class ModelConfig:
     # behavior; 0.5 cuts the dominant step component ~4x -- a documented
     # divergence, quantify on the synthetic benchmark before using)
     pose_input_scale: float = 1.0
+    # main-slot + error-pose warps in ONE warp_all call (one grid matmul
+    # batch + one packed-kernel sweep over 2S-1 slots) instead of two
+    # back-to-back calls. Loss-AND-grad exact (the warp is slot-independent
+    # elementwise work; tests/test_train_step.py) and measured +13% at F=7
+    # (61.0 vs 53.8 imgs/s, docs/results/bench_merged_r4b.json) -- the
+    # per-call fusion/dispatch overhead of the second sweep dominates its
+    # compute. False reproduces the two-call schedule for A/B.
+    merged_warp: bool = True
 
 
 @dataclass

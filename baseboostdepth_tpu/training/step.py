@@ -105,12 +105,14 @@ class StepStatic:
     remat_depth: bool = False
     # warp batching: compute the main-slot and error-pose warps in ONE
     # warp_all call (one grid matmul batch + one packed-kernel sweep over
-    # 2S-1 slots) instead of two back-to-back calls. Loss-exact (the warp is
-    # slot-independent elementwise work; tests/test_train_step.py). A/B knob:
-    # step accounting attributed 41 ms to the error-pose warps vs 9.9 for
-    # the main slots -- if that asymmetry is per-call fusion/overhead, one
-    # call reclaims it.
-    merged_warp: bool = False
+    # 2S-1 slots) instead of two back-to-back calls. Loss-AND-grad exact
+    # (the warp is slot-independent elementwise work;
+    # tests/test_train_step.py) and the DEFAULT since round 5: step
+    # accounting attributed 41 ms to the error-pose warps vs 9.9 for the
+    # main slots, and merging the calls reclaimed the asymmetry -- measured
+    # 223.0 -> 196.7 ms at F=7 (+13%, docs/results/bench_merged_r4b.json).
+    # False reproduces the two-call schedule for A/B.
+    merged_warp: bool = True
 
     @property
     def metric_depth(self) -> bool:

@@ -251,6 +251,7 @@ class Trainer:
                 smooth_weight=m.disparity_smoothness,
                 dtype=cfg.model.dtype,
                 pose_input_scale=cfg.model.pose_input_scale,
+                merged_warp=cfg.model.merged_warp,
             )
         return StepStatic(
             zoo=cfg.model.zoo,
@@ -270,6 +271,7 @@ class Trainer:
             smooth_weight=m.disparity_smoothness,
             dtype=cfg.model.dtype,
             pose_input_scale=cfg.model.pose_input_scale,
+            merged_warp=cfg.model.merged_warp,
         )
 
     def _step_fn(self, st: StepStatic):

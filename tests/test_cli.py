@@ -120,3 +120,64 @@ def test_evaluate_depth_ext_disp(saved_checkpoint, tmp_path, capsys):
           "--split", "eigen", "--ext_disp_to_eval", str(dp)])
     outp = capsys.readouterr().out
     assert "abs_rel" in outp
+
+
+def _parse_metric_lines(text):
+    """Parse the `name: value` lines both eval paths print."""
+    out = {}
+    for ln in text.splitlines():
+        if ":" in ln and not ln.startswith(" "):
+            k, _, v = ln.partition(":")
+            try:
+                out[k.strip()] = float(v)
+            except ValueError:
+                pass
+    return out
+
+
+def test_ext_disp_reproduces_live_eval(saved_checkpoint, tmp_path, capsys):
+    """--ext_disp_to_eval on a --save_pred_disps file must reproduce the
+    live model eval bit-for-bit (reference evaluate_depth.py scores saved
+    .npy stacks through the same metric loop, options.py:225-232)."""
+    from baseboostdepth_tpu.cli.evaluate_depth import main
+
+    root, cfg_path, ckpt = saved_checkpoint
+    rng = np.random.default_rng(7)
+    kt = tmp_path / "kitti"
+    folder = "2011_09_26/2011_09_26_drive_0001_sync"
+    d = kt / folder / "image_02" / "data"
+    d.mkdir(parents=True)
+    n = 3
+    for i in range(n):
+        Image.fromarray(
+            rng.integers(0, 255, (40, 120, 3), dtype=np.uint8)
+        ).save(d / f"{i:010d}.jpg")
+    splits = tmp_path / "splits" / "eigen"
+    splits.mkdir(parents=True)
+    splits.joinpath("test_files.txt").write_text(
+        "\n".join(f"{folder} {i} l" for i in range(n)) + "\n"
+    )
+    yy = np.linspace(2, 50, 40)[:, None] * np.ones((1, 120))
+    gt = np.empty(n, dtype=object)
+    for i in range(n):
+        gt[i] = yy.astype(np.float32)
+    np.savez_compressed(splits / "gt_depths.npz", data=gt)
+
+    cfg = Config.load(cfg_path)
+    cfg.data.kt_path = str(kt)
+    cfg.data.splits_dir = str(tmp_path / "splits")
+    cfg2 = tmp_path / "cfg2.json"
+    cfg.save(str(cfg2))
+
+    dp = tmp_path / "pred_disps.npy"
+    main(["--config", str(cfg2), "--checkpoint", ckpt, "--split", "eigen",
+          "--save_pred_disps", str(dp)])
+    live = _parse_metric_lines(capsys.readouterr().out)
+
+    main(["--config", str(cfg2), "--checkpoint", ckpt, "--split", "eigen",
+          "--ext_disp_to_eval", str(dp)])
+    ext = _parse_metric_lines(capsys.readouterr().out)
+
+    assert live and ext
+    for k, v in live.items():
+        assert ext[k] == pytest.approx(v, abs=5e-5), (k, v, ext[k])

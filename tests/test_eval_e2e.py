@@ -130,6 +130,54 @@ class TestSynsEvalE2E:
         for k in ("abs_rel", "edge_acc", "edge_comp"):
             assert k in res_val and np.isfinite(res_val[k]), res_val
 
+    def test_export_gt_val_roundtrip(self, state, tmp_path):
+        """cli/export_gt --split SYNS [--val] must write the exact sidecars
+        the SYNS evaluators read (gt_depths[_val].npz / gt_edges[_val].npz,
+        evaluation/syns.py) and a --val export must not clobber the test GT
+        (reference export_gt_depth.py:15-90 writes per-split files)."""
+        from baseboostdepth_tpu.cli import export_gt
+        from baseboostdepth_tpu.evaluation.syns import evaluate_syns
+
+        st, s = state
+        rng = np.random.default_rng(3)
+        syns = tmp_path / "syns"
+        splits_root = tmp_path / "splits"
+        splits = splits_root / "SYNS"
+        splits.mkdir(parents=True)
+        lines = []
+        for i in range(3):
+            folder = f"{i+1:02d}"
+            (syns / "images" / folder).mkdir(parents=True)
+            (syns / "depths" / folder).mkdir(parents=True)
+            img = rng.integers(0, 255, (38, 116, 3), dtype=np.uint8)
+            Image.fromarray(img).save(syns / "images" / folder / f"{i:02d}.png")
+            depth = (np.linspace(1, 60, 38)[:, None] * np.ones((1, 116))
+                     + rng.normal(0, 0.5, (38, 116))).astype(np.float32)
+            np.save(syns / "depths" / folder / f"{i:02d}.npy", depth)
+            lines.append(f"{folder} {i:02d}")
+        splits.joinpath("test_files.txt").write_text("\n".join(lines[:2]) + "\n")
+        splits.joinpath("val_files.txt").write_text(lines[2] + "\n")
+
+        args = ["--split", "SYNS", "--syns_path", str(syns),
+                "--splits_dir", str(splits_root)]
+        export_gt.main(args)
+        export_gt.main(args + ["--val"])
+
+        # distinct files, correct cardinality, test GT survives the val export
+        test_gt = np.load(splits / "gt_depths.npz", allow_pickle=True)["data"]
+        val_gt = np.load(splits / "gt_depths_val.npz", allow_pickle=True)["data"]
+        assert len(test_gt) == 2 and len(val_gt) == 1
+        assert (splits / "gt_edges.npz").exists()
+        assert (splits / "gt_edges_val.npz").exists()
+
+        cfg = _cfg("unused", str(splits_root))
+        cfg.data.syns_path = str(syns)
+        res = evaluate_syns(cfg, s.params, s.stats)
+        res_val = evaluate_syns(cfg, s.params, s.stats, file_name="val_files.txt")
+        for r in (res, res_val):
+            for k in ("abs_rel", "edge_acc", "edge_comp"):
+                assert k in r and np.isfinite(r[k]), r
+
 
 class TestPoseEvalE2E:
     def test_evaluate_odometry_runs(self, state, tmp_path):

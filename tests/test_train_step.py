@@ -391,7 +391,9 @@ def test_merged_warp_is_loss_and_grad_exact():
         )
         return float(loss), grads
 
-    base_loss, base_grads = loss_and_grads(st)
+    base_loss, base_grads = loss_and_grads(
+        dataclasses.replace(st, merged_warp=False)
+    )
     merged_loss, merged_grads = loss_and_grads(
         dataclasses.replace(st, merged_warp=True)
     )
