@@ -207,7 +207,14 @@ def load_pretrained_encoder(state, path: str, zoo: str, pose_path: str | None = 
         depth_s["encoder"] = _merge(stats["depth"]["encoder"], enc_s)
         stats["depth"] = depth_s
 
-    # pose encoder: duplicate conv1 across the 2-frame input and halve
+    # pose encoder: duplicate conv1 across the 2-frame input and halve.
+    # For non-resnet depth encoders (monovit/diffnet) the file holds
+    # mpvit/hrnet tensors that cannot seed a ResNet-18, so without an
+    # explicit pose_path the pose encoder keeps its random init (the
+    # reference equivalently leaves it at torchvision defaults when its
+    # download is skipped).
+    if pose_path is None and zoo in ("monovit", "diffnet"):
+        return state.replace(params=params, stats=stats)
     pose_sd = load_torch_state_dict(pose_path) if pose_path else sd
     pose_enc_p, pose_enc_s = resnet_torch_to_flax(pose_sd)
     k = pose_enc_p["conv1"]["conv"]["kernel"]
