@@ -14,6 +14,7 @@ sample's curriculum window are replicated copies of frame 0.
 
 from __future__ import annotations
 
+import logging
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -288,7 +289,17 @@ class KittiTrainLoader:
                     emitted += 1
                     if emitted > skip:
                         yield self._assemble(batch_plans[lo:hi], fc)
-        # per-class leftovers are dropped (generalized drop_last)
+        # per-class leftovers are dropped (generalized drop_last); quantify
+        # so the coverage cost of bucketing is visible per epoch
+        left = {fc: len(q) for fc, q in queues.items() if q}
+        if left:
+            logging.getLogger(__name__).info(
+                "bucketed epoch: %d/%d samples dropped as per-class leftovers "
+                "(%.2f%%; per class: %s)",
+                sum(left.values()), len(self.index),
+                100.0 * sum(left.values()) / max(1, len(self.index)),
+                left,
+            )
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         """Iterate with background prefetch (double buffering host vs device)."""

@@ -63,7 +63,7 @@ def _sample_fingerprints(batches):
     return out
 
 
-def test_bucketed_plans_match_unbucketed(kitti_tree):
+def test_bucketed_plans_match_unbucketed(kitti_tree, caplog):
     root, split = kitti_tree
     index = kitti.KittiRawIndex(root, split)
     stage = stage_for_epoch(14, trimin=True)  # F=7, wide class mix
@@ -72,9 +72,10 @@ def test_bucketed_plans_match_unbucketed(kitti_tree):
         num_workers=2, seed=5, use_native=False,
     )
     plain = list(KittiTrainLoader(index, stage, **kw))
-    bucketed = list(
-        KittiTrainLoader(index, stage, bucket_fs=(2, 5, 7), **kw)
-    )
+    with caplog.at_level("INFO", logger="baseboostdepth_tpu.data.loader"):
+        bucketed = list(
+            KittiTrainLoader(index, stage, bucket_fs=(2, 5, 7), **kw)
+        )
 
     assert bucketed, "no bucketed batches produced"
     for b in bucketed:
@@ -94,6 +95,12 @@ def test_bucketed_plans_match_unbucketed(kitti_tree):
     # at least two distinct classes realized with this seed/baseline mix
     classes = {b["frames"].shape[1] for b in bucketed}
     assert len(classes) >= 2, classes
+    # the coverage cost is quantified per epoch: one INFO line whose dropped
+    # count equals exactly the plans that never made a full class batch
+    drop_lines = [r for r in caplog.records if "leftovers" in r.getMessage()]
+    assert len(drop_lines) == 1, [r.getMessage() for r in caplog.records]
+    n_dropped = len(plain_fp) - len(bucket_fp)
+    assert f"{n_dropped}/{len(index)} samples dropped" in drop_lines[0].getMessage()
 
 
 def test_skip_batches_resumes_loader_stream(kitti_tree):
