@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from baseboostdepth_tpu.ops.phase_tail import depth_to_space2
 from baseboostdepth_tpu.ops.resize import upsample2x_nearest
 
 DEC_CHANNELS = (16, 32, 64, 128, 256)
@@ -43,6 +44,20 @@ def _packed_group(W: int, C: int) -> int:
     return 0
 
 
+def _phase_tail() -> bool:
+    """Run the scale-0 tail in phase (space-to-depth) form on TPU.
+
+    Exact transform (ops/phase_tail.py): both scale-0 convs run at half
+    resolution with 4x the output channels and the 2x-upsampled tensor is
+    never materialized. Opt-in via BBD_PHASE_TAIL=1 until the in-step
+    measurement lands (ledger discipline: no unmeasured defaults).
+    'force' enables off-TPU (CPU exactness tests)."""
+    v = os.environ.get("BBD_PHASE_TAIL", "0")
+    if v == "force":
+        return True
+    return v == "1" and jax.default_backend() == "tpu"
+
+
 class ReflectConv3x3(nn.Module):
     """Reflection-pad(1) + 3x3 conv; reference layers.py:118-133 (Conv3x3).
 
@@ -54,9 +69,15 @@ class ReflectConv3x3(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, phase: str | None = None):
         B, H, W, C = x.shape
         conv = _Conv3x3Core(self.features, dtype=self.dtype, name="conv")
+        if phase is not None:
+            # phase-domain execution (ops/phase_tail.py): x is the
+            # half-res map (unpadded); the core edge-pads, which
+            # reproduces the full-res reflect-pad-1 exactly. Same
+            # kernel/bias params as the direct path.
+            return conv(x, 0, phase=phase)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
         return conv(xp, _packed_group(W, C))
 
@@ -68,14 +89,22 @@ class _Conv3x3Core(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xp, G: int):
-        C = xp.shape[-1]
+    def __call__(self, xp, G: int, phase: str | None = None):
+        C = xp.shape[-1] if phase != "s2d" else xp.shape[-1] // 4
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, C, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
         xp = xp.astype(self.dtype)
         k = kernel.astype(self.dtype)
+        if phase == "up":
+            from baseboostdepth_tpu.ops.phase_tail import phase_upconv
+
+            return phase_upconv(xp, k, bias.astype(self.dtype))
+        if phase == "s2d":
+            from baseboostdepth_tpu.ops.phase_tail import phase_s2dconv
+
+            return phase_s2dconv(xp, k, bias.astype(self.dtype))
         if G:
             from baseboostdepth_tpu.ops.packed_conv import packed_conv3x3
 
@@ -95,8 +124,10 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        return nn.elu(ReflectConv3x3(self.features, dtype=self.dtype, name="conv")(x))
+    def __call__(self, x, phase: str | None = None):
+        return nn.elu(
+            ReflectConv3x3(self.features, dtype=self.dtype, name="conv")(x, phase)
+        )
 
 
 class DepthDecoder(nn.Module):
@@ -117,6 +148,17 @@ class DepthDecoder(nn.Module):
         disps = {}
         for i in range(4, -1, -1):
             x = ConvBlock(DEC_CHANNELS[i], dtype=self.dtype, name=f"upconv_{i}_0")(x)
+            if i == 0 and 0 in self.scales and _phase_tail():
+                # exact phase-domain tail: both convs at half res, no
+                # upsampled tensor (ops/phase_tail.py); same params
+                z = ConvBlock(DEC_CHANNELS[0], dtype=self.dtype, name="upconv_0_1")(
+                    x, phase="up"
+                )
+                d = ReflectConv3x3(
+                    self.num_output_channels, dtype=self.dtype, name="dispconv_0"
+                )(z, phase="s2d")
+                disps[0] = depth_to_space2(nn.sigmoid(d.astype(jnp.float32)))
+                break
             x = upsample2x_nearest(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, features[i - 1]], axis=-1)
