@@ -24,7 +24,12 @@ from typing import Any, List, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from baseboostdepth_tpu.models.depth_decoder import ConvBlock, ReflectConv3x3
+from baseboostdepth_tpu.models.depth_decoder import (
+    ConvBlock,
+    ReflectConv3x3,
+    _phase_tail,
+)
+from baseboostdepth_tpu.ops.phase_tail import depth_to_space2
 from baseboostdepth_tpu.models.monovit import ChannelAttention
 from baseboostdepth_tpu.models.resnet import BasicBlock, Bottleneck, _BN, _Conv
 from baseboostdepth_tpu.ops.resize import upsample2x_nearest
@@ -185,14 +190,23 @@ class DIFFNetDepthNet(nn.Module):
         x18 = AttentionFuse(64, dtype=self.dtype, name="att18")(x36, list18)
         x9 = AttentionFuse(32, dtype=self.dtype, name="att9")(x18, [f_half])
         x6 = ConvBlock(16, dtype=self.dtype, name="up_x9_0")(x9)
-        x6 = ConvBlock(16, dtype=self.dtype, name="up_x9_1")(upsample2x_nearest(x6))
 
         def head(name, y):
             d = ReflectConv3x3(1, dtype=self.dtype, name=name)(y)
             return nn.sigmoid(d.astype(jnp.float32))
 
+        if _phase_tail():
+            # exact phase-domain scale-0 tail (ops/phase_tail.py): same
+            # up_x9_1/dispconv0 params, both convs at half res
+            z = ConvBlock(16, dtype=self.dtype, name="up_x9_1")(x6, phase="up")
+            d = ReflectConv3x3(1, dtype=self.dtype, name="dispconv0")(z, phase="s2d")
+            d0 = depth_to_space2(nn.sigmoid(d.astype(jnp.float32)))
+        else:
+            x6 = ConvBlock(16, dtype=self.dtype, name="up_x9_1")(upsample2x_nearest(x6))
+            d0 = head("dispconv0", x6)
+
         return (
-            head("dispconv0", x6),
+            d0,
             head("dispconv1", x9),
             head("dispconv2", x18),
             head("dispconv3", x36),

@@ -30,7 +30,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from baseboostdepth_tpu.models.depth_decoder import ConvBlock, ReflectConv3x3
+from baseboostdepth_tpu.models.depth_decoder import (
+    ConvBlock,
+    ReflectConv3x3,
+    _phase_tail,
+)
+from baseboostdepth_tpu.ops.phase_tail import depth_to_space2
 from baseboostdepth_tpu.ops.resize import upsample2x_nearest
 
 _BN = dict(momentum=0.9, epsilon=1e-5)
@@ -406,14 +411,25 @@ class HRDecoder(nn.Module):
                 X[index] = ConvBlock(ncd[row + 1], dtype=self.dtype, name=f"X_{index}_conv1")(cat)
 
         x = conv0(0, 4, X["04"])
-        x = ConvBlock(ncd[0], dtype=self.dtype, name="X_04_conv1")(upsample2x_nearest(x))
 
         def head(name, y):
             d = ReflectConv3x3(self.num_output_channels, dtype=self.dtype, name=name)(y)
             return nn.sigmoid(d.astype(jnp.float32))
 
+        if _phase_tail():
+            # exact phase-domain scale-0 tail (ops/phase_tail.py): same
+            # X_04_conv1/dispconv0 params, both convs at half res
+            z = ConvBlock(ncd[0], dtype=self.dtype, name="X_04_conv1")(x, phase="up")
+            d = ReflectConv3x3(
+                self.num_output_channels, dtype=self.dtype, name="dispconv0"
+            )(z, phase="s2d")
+            d0 = depth_to_space2(nn.sigmoid(d.astype(jnp.float32)))
+        else:
+            x = ConvBlock(ncd[0], dtype=self.dtype, name="X_04_conv1")(upsample2x_nearest(x))
+            d0 = head("dispconv0", x)
+
         return (
-            head("dispconv0", x),
+            d0,
             head("dispconv1", X["04"]),
             head("dispconv2", X["13"]),
             head("dispconv3", X["22"]),

@@ -107,3 +107,37 @@ def test_decoder_phase_gate_end_to_end(monkeypatch):
     for s, (a, b) in enumerate(zip(direct, phase)):
         assert a.shape == b.shape, s
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, err_msg=str(s))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("zoo", ["diffnet", "monovit"])
+def test_zoo_phase_gate_end_to_end(zoo, monkeypatch):
+    """diffnet/monovit share the scale-0 pattern; the gated phase tail must
+    reproduce the direct disparities with the same param tree."""
+    from baseboostdepth_tpu.models import build_depth_net
+
+    net = build_depth_net(zoo)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.random((1, 64, 96, 3)).astype(np.float32))
+
+    monkeypatch.delenv("BBD_PHASE_TAIL", raising=False)
+    variables0 = net.init(jax.random.PRNGKey(0), x, train=False)
+    # Random-init diffnet saturates the sigmoid heads (pre-activations are
+    # huge), so the comparison would be dominated by fp32 cancellation, not
+    # wiring. Scale params into a well-conditioned regime first.
+    variables = dict(variables0)
+    variables["params"] = jax.tree_util.tree_map(
+        lambda a: a * 0.5, variables0["params"]
+    )
+    direct = net.apply(variables, x, train=False)
+
+    monkeypatch.setenv("BBD_PHASE_TAIL", "force")
+    variables_p = net.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables0) == jax.tree_util.tree_structure(
+        variables_p
+    ), "phase gate changed the param tree"
+    phase = net.apply(variables, x, train=False)
+
+    for s, (a, b) in enumerate(zip(direct, phase)):
+        assert a.shape == b.shape, s
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6, err_msg=str(s))
