@@ -116,15 +116,16 @@ def build_truncated_loss(st, level: int, mesh=None):
         interp = jax.default_backend() != "tpu"
         packed_warp = lambda i, g: bilinear_sample_corner_u8(i, g, interpret=interp)
 
-        def warp_all(depth_hw, Ts):
+        def warp_all(depth_hw, Ts, src_u8=None):
             S = Ts.shape[1]
             depth_r = jnp.broadcast_to(depth_hw[:, None], (B, S, H, W)).reshape(B * S, H, W)
             grid = geometry.warp_grid(
                 depth_r, jnp.repeat(K, S, axis=0), jnp.repeat(inv_K, S, axis=0),
                 Ts.reshape(B * S, 4, 4),
             )
+            src = sources_raw[:, :S] if src_u8 is None else src_u8
             return packed_warp(
-                sources_raw[:, :S].reshape(B * S, H, W, 3), grid
+                src.reshape(B * S, H, W, 3), grid
             ).reshape(B, S, H, W, 3)
 
         noise = jax.random.normal(noise_key, (B, 1, H, W)) * 1e-5
@@ -137,12 +138,27 @@ def build_truncated_loss(st, level: int, mesh=None):
             disp_full = disp if disp.shape[1:3] == (H, W) else resize_bilinear(disp, H, W)
             _, depth = geometry.disp_to_depth(disp_full[..., 0], st.min_depth, st.max_depth)
 
-            warped = warp_all(depth, T_slots)
             if level == 4:
-                total = total + jnp.mean(warped)
+                # main-slot sweep only (the merged production sweep doesn't
+                # decompose; level 5's delta charges the error-slot extension)
+                total = total + jnp.mean(warp_all(depth, T_slots))
                 continue
 
-            warped_e = warp_all(depth, T_err) if T_err is not None else None
+            if T_err is not None and st.merged_warp:
+                # production default: ONE sweep over main+error slots
+                # (training/step.py:559-573); error slot i reuses source i
+                S_main, S_err = T_slots.shape[1], T_err.shape[1]
+                both = warp_all(
+                    depth,
+                    jnp.concatenate([T_slots, T_err], axis=1),
+                    src_u8=jnp.concatenate(
+                        [sources_raw[:, :S_main], sources_raw[:, :S_err]], axis=1
+                    ),
+                )
+                warped, warped_e = both[:, :S_main], both[:, S_main:]
+            else:
+                warped = warp_all(depth, T_slots)
+                warped_e = warp_all(depth, T_err) if T_err is not None else None
             if level == 5:
                 total = total + jnp.mean(warped) + (
                     jnp.mean(warped_e) if warped_e is not None else 0.0
