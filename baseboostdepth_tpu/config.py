@@ -30,11 +30,33 @@ class ModelConfig:
     # main-slot + error-pose warps in ONE warp_all call (one grid matmul
     # batch + one packed-kernel sweep over 2S-1 slots) instead of two
     # back-to-back calls. Loss-AND-grad exact (the warp is slot-independent
-    # elementwise work; tests/test_train_step.py) and measured +13% at F=7
-    # (61.0 vs 53.8 imgs/s, docs/results/bench_merged_r4b.json) -- the
-    # per-call fusion/dispatch overhead of the second sweep dominates its
-    # compute. False reproduces the two-call schedule for A/B.
-    merged_warp: bool = True
+    # elementwise work; tests/test_train_step.py). None = auto per zoo:
+    # True everywhere merged measured faster (md2 61.6 vs 56.26 imgs/s,
+    # docs/results/bench_worst[_nomerged]_r5.json) EXCEPT cadepth, where
+    # the same-session A/B shows the two-call schedule wins (40.9 vs 36.53,
+    # docs/results/bench_cadepth[_nomerged]_r5.json -- its SPM/DEM decoder
+    # shifts the warp/compute ratio). True/False force either schedule.
+    merged_warp: Optional[bool] = None
+    # phase-domain scale-0 decoder tail (ops/phase_tail.py): both scale-0
+    # convs run at half resolution with 4x channels; the 2x-upsampled
+    # tensor is never materialized. Exact to fp32 rounding (grads too,
+    # tests/test_phase_tail.py). None = auto per zoo: enabled where the
+    # in-step win is measured (md2 62.46 vs 61.6 imgs/s at F=7,
+    # docs/results/bench_worst_phasetail_r5.json), off elsewhere pending
+    # measurement. BBD_PHASE_TAIL env var overrides everything (A/B knob).
+    phase_tail: Optional[bool] = None
+
+    # measured per-zoo auto defaults (ledger discipline: flips require an
+    # in-step A/B in docs/results/)
+    def resolved_merged_warp(self) -> bool:
+        if self.merged_warp is not None:
+            return bool(self.merged_warp)
+        return self.zoo != "cadepth"
+
+    def resolved_phase_tail(self) -> bool:
+        if self.phase_tail is not None:
+            return bool(self.phase_tail)
+        return self.zoo == "md2"
 
 
 @dataclass
@@ -234,6 +256,9 @@ def _coerce(val: str, current):
         # (e.g. --method.disp_init_bias -2.2 must parse as a float)
         if val.lower() in ("none", "null"):
             return None
+        if val.lower() in ("true", "false", "yes", "no", "on", "off"):
+            # Optional[bool] fields (e.g. --model.merged_warp false)
+            return val.lower() in ("true", "yes", "on")
         for typ in (int, float):
             try:
                 return typ(val)

@@ -44,18 +44,37 @@ def _packed_group(W: int, C: int) -> int:
     return 0
 
 
+#: process default for the phase tail, set from config by the entry points
+#: (Trainer.__init__/bench.py via set_phase_tail) BEFORE any step is traced.
+#: The gate is read at trace time, so it must not be flipped between jit
+#: specializations of the same run.
+_PHASE_TAIL_DEFAULT = False
+
+
+def set_phase_tail(enabled: bool) -> None:
+    """Set the process-wide phase-tail default (config plumbing).
+
+    Call before tracing any step/eval fn; ModelConfig.resolved_phase_tail()
+    supplies the measured per-zoo auto value."""
+    global _PHASE_TAIL_DEFAULT
+    _PHASE_TAIL_DEFAULT = bool(enabled)
+
+
 def _phase_tail() -> bool:
     """Run the scale-0 tail in phase (space-to-depth) form on TPU.
 
     Exact transform (ops/phase_tail.py): both scale-0 convs run at half
     resolution with 4x the output channels and the 2x-upsampled tensor is
-    never materialized. Opt-in via BBD_PHASE_TAIL=1 until the in-step
-    measurement lands (ledger discipline: no unmeasured defaults).
-    'force' enables off-TPU (CPU exactness tests)."""
-    v = os.environ.get("BBD_PHASE_TAIL", "0")
+    never materialized. Default comes from set_phase_tail (config-resolved
+    per zoo: measured +1.4% in-step on md2 at F=7,
+    docs/results/bench_worst_phasetail_r5.json); the BBD_PHASE_TAIL env var
+    overrides for A/Bs. 'force' enables off-TPU (CPU exactness tests)."""
+    v = os.environ.get("BBD_PHASE_TAIL")
     if v == "force":
         return True
-    return v == "1" and jax.default_backend() == "tpu"
+    if v is not None:
+        return v == "1" and jax.default_backend() == "tpu"
+    return _PHASE_TAIL_DEFAULT and jax.default_backend() == "tpu"
 
 
 class ReflectConv3x3(nn.Module):

@@ -78,6 +78,13 @@ class Trainer:
         os.makedirs(self.log_path, exist_ok=True)
         cfg.save(os.path.join(self.log_path, "config.json"))
 
+        # perf defaults resolved per zoo from measurements (config.py);
+        # phase_tail is a trace-time gate, so it must be set before any
+        # step/eval fn is traced
+        from baseboostdepth_tpu.models.depth_decoder import set_phase_tail
+
+        set_phase_tail(cfg.model.resolved_phase_tail())
+
         assert cfg.data.height % 32 == 0 and cfg.data.width % 32 == 0, \
             "height/width must be multiples of 32"
         # the reference's curriculum path always adds the stereo frame for
@@ -251,7 +258,7 @@ class Trainer:
                 smooth_weight=m.disparity_smoothness,
                 dtype=cfg.model.dtype,
                 pose_input_scale=cfg.model.pose_input_scale,
-                merged_warp=cfg.model.merged_warp,
+                merged_warp=cfg.model.resolved_merged_warp(),
             )
         return StepStatic(
             zoo=cfg.model.zoo,
@@ -271,7 +278,7 @@ class Trainer:
             smooth_weight=m.disparity_smoothness,
             dtype=cfg.model.dtype,
             pose_input_scale=cfg.model.pose_input_scale,
-            merged_warp=cfg.model.merged_warp,
+            merged_warp=cfg.model.resolved_merged_warp(),
         )
 
     def _step_fn(self, st: StepStatic):

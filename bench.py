@@ -99,11 +99,19 @@ def main(argv=None):
     ap.add_argument("--pose_input_scale", type=float, default=1.0,
                     help="opt-in perf mode (model.pose_input_scale)")
     ap.add_argument("--merged_warp", action=argparse.BooleanOptionalAction,
-                    default=True,
+                    default=None,
                     help="main-slot + error-pose warps in one grid matmul "
                     "batch + one packed-kernel sweep (2S-1 slots) instead of "
-                    "two calls; loss-exact and the production default since "
-                    "round 5 (+13%% at F=7). --no-merged_warp for the A/B")
+                    "two calls; loss-exact. Default: the production per-zoo "
+                    "auto (True except cadepth, where the two-call schedule "
+                    "measured faster -- config.py resolved_merged_warp). "
+                    "--[no-]merged_warp forces either for the A/B")
+    ap.add_argument("--phase_tail", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="phase-domain scale-0 decoder tail (exact; "
+                    "ops/phase_tail.py). Default: the production per-zoo "
+                    "auto (config.py resolved_phase_tail). Forcing either "
+                    "way tags the metric for the A/B")
     ap.add_argument("--remat", default="none",
                     choices=["none", "pose", "depth", "both"],
                     help="A/B: jax.checkpoint the pose/depth nets (recompute "
@@ -162,11 +170,20 @@ def main(argv=None):
 
     setup_jax()
 
+    from baseboostdepth_tpu.config import ModelConfig
+    from baseboostdepth_tpu.models.depth_decoder import set_phase_tail
     from baseboostdepth_tpu.training.batch import make_batch, num_frames
     from baseboostdepth_tpu.training.optim import make_optimizer
     from baseboostdepth_tpu.training.step import StepStatic, init_state, make_train_step
 
     H, W, B = 192, 640, args.batch_size
+
+    # resolve the production per-zoo perf defaults (config.py); explicit
+    # --[no-]merged_warp/--[no-]phase_tail force either side for A/Bs
+    _mc = ModelConfig(zoo=args.zoo, merged_warp=args.merged_warp,
+                      phase_tail=args.phase_tail)
+    merged_warp = _mc.resolved_merged_warp()
+    set_phase_tail(_mc.resolved_phase_tail())
 
     def time_class(F):
         """Build + time one bucket class's compiled step; returns
@@ -188,7 +205,7 @@ def main(argv=None):
             pose_input_scale=args.pose_input_scale,
             remat_pose=args.remat in ("pose", "both"),
             remat_depth=args.remat in ("depth", "both"),
-            merged_warp=args.merged_warp,
+            merged_warp=merged_warp,
         )
         opt = make_optimizer(steps_per_epoch=3317, vit=(args.zoo == "monovit"))
         state = init_state(st, opt, jax.random.PRNGKey(0))
@@ -336,7 +353,10 @@ def main(argv=None):
         + ("" if args.F == 7 else f"_F{args.F}")
         + ("" if args.pose_input_scale == 1.0 else f"_ps{args.pose_input_scale}")
         + ("" if args.remat == "none" else f"_remat_{args.remat}")
-        + ("" if args.merged_warp else "_nomergedwarp"),
+        + ("" if args.merged_warp is None
+           else ("_mergedwarp" if args.merged_warp else "_nomergedwarp"))
+        + ("" if args.phase_tail is None
+           else ("_phasetail" if args.phase_tail else "_nophasetail")),
         "value": round(imgs_per_sec / n_chips, 2),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec / n_chips / REFERENCE_IMGS_PER_SEC, 3),

@@ -49,6 +49,35 @@ def test_json_roundtrip(tmp_path):
     assert cfg2.method.scales == cfg.method.scales
 
 
+def test_perf_auto_defaults_per_zoo():
+    """merged_warp/phase_tail default to the measured per-zoo policy
+    (docs/results/bench_*_r5.json) and explicit values override it."""
+    cfg = Config()
+    assert cfg.model.merged_warp is None and cfg.model.phase_tail is None
+    assert cfg.model.resolved_merged_warp() is True  # md2
+    assert cfg.model.resolved_phase_tail() is True  # md2: measured win
+    cad = Config.from_args(["--model.zoo", "cadepth"])
+    assert cad.model.resolved_merged_warp() is False  # measured regression
+    assert cad.model.resolved_phase_tail() is False  # unmeasured -> off
+    for zoo in ("monovit", "sql", "diffnet"):
+        c = Config.from_args(["--model.zoo", zoo])
+        assert c.model.resolved_merged_warp() is True
+        assert c.model.resolved_phase_tail() is False
+
+    # CLI force in both directions (Optional[bool] coercion)
+    forced = Config.from_args(["--model.zoo", "cadepth",
+                               "--model.merged_warp", "true",
+                               "--model.phase_tail", "true"])
+    assert forced.model.resolved_merged_warp() is True
+    assert forced.model.resolved_phase_tail() is True
+    off = Config.from_args(["--model.merged_warp", "false",
+                            "--model.phase_tail", "off"])
+    assert off.model.resolved_merged_warp() is False
+    assert off.model.resolved_phase_tail() is False
+    auto = Config.from_args(["--model.merged_warp", "none"])
+    assert auto.model.merged_warp is None
+
+
 def test_config_file_plus_override(tmp_path):
     p = tmp_path / "c.json"
     Config.from_args(["--optim.batch_size", "4"]).save(str(p))

@@ -190,6 +190,9 @@ def build_truncated_loss(st, level: int, mesh=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--blocks", type=int, default=3,
+                    help="independent timing blocks per level (min wins); "
+                    "tunnel stalls otherwise corrupt per-level deltas")
     ap.add_argument("--F", type=int, default=7)
     ap.add_argument("--batch_size", type=int, default=12)
     ap.add_argument("--dtype", default="bfloat16")
@@ -212,6 +215,12 @@ def main():
         make_train_step,
     )
     from bench import inject_realistic_pose_bias
+
+    # production md2 perf defaults (config.py): phase-domain scale-0 tail on
+    from baseboostdepth_tpu.config import ModelConfig
+    from baseboostdepth_tpu.models.depth_decoder import set_phase_tail
+
+    set_phase_tail(ModelConfig().resolved_phase_tail())
 
     H, W, F, B = 192, 640, args.F, args.batch_size
     st = StepStatic(
@@ -251,12 +260,18 @@ def main():
         fn = jax.jit(_step)
         s, loss = fn(state, batch, jax.random.PRNGKey(1))
         float(loss)  # sync (tunneled block_until_ready returns early)
-        t0 = time.perf_counter()
-        s2 = state
-        for i in range(args.iters):
-            s2, loss = fn(s2, batch, jax.random.PRNGKey(2 + i))
-        float(loss)
-        return (time.perf_counter() - t0) / args.iters
+        # min over independent blocks: a tunnel stall inside one block must
+        # not inflate the level time (the round-5e single-block run recorded
+        # a -24.6 ms "smoothness" delta because level 6 stalled)
+        best = float("inf")
+        for b in range(args.blocks):
+            t0 = time.perf_counter()
+            s2 = state
+            for i in range(args.iters):
+                s2, loss = fn(s2, batch, jax.random.PRNGKey(2 + i))
+            float(loss)
+            best = min(best, (time.perf_counter() - t0) / args.iters)
+        return best
 
     # sanity: level 7 is loss-identical to the production loss_forward
     l7 = build_truncated_loss(st, 7)
@@ -279,11 +294,14 @@ def main():
     step_fn = make_train_step(st, opt)
     s, m = step_fn(state, batch, jax.random.PRNGKey(1))
     float(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        s, m = step_fn(s, batch, jax.random.PRNGKey(2 + i))
-    float(m["loss"])
-    full_dt = (time.perf_counter() - t0) / args.iters
+    full_dt = float("inf")
+    for b in range(args.blocks):
+        t0 = time.perf_counter()
+        s = state
+        for i in range(args.iters):
+            s, m = step_fn(s, batch, jax.random.PRNGKey(2 + i))
+        float(m["loss"])
+        full_dt = min(full_dt, (time.perf_counter() - t0) / args.iters)
 
     comp = {LEVEL_NAMES[i]: round((times[i] - (times[i - 1] if i else 0.0)) * 1e3, 1)
             for i in range(8)}
