@@ -42,8 +42,10 @@ class ModelConfig:
     # tensor is never materialized. Exact to fp32 rounding (grads too,
     # tests/test_phase_tail.py). None = auto per zoo: enabled where the
     # in-step win is measured (md2 62.46 vs 61.6 imgs/s at F=7,
-    # docs/results/bench_worst_phasetail_r5.json), off elsewhere pending
-    # measurement. BBD_PHASE_TAIL env var overrides everything (A/B knob).
+    # docs/results/bench_worst_phasetail_r5.json); measured REGRESSIONS
+    # keep it off for diffnet (44.12 vs 45.22) and monovit (43.79 vs
+    # 44.64), docs/results/bench_{diffnet,monovit}_phasetail_r5f.json.
+    # BBD_PHASE_TAIL env var overrides everything (A/B knob).
     phase_tail: Optional[bool] = None
 
     # measured per-zoo auto defaults (ledger discipline: flips require an
