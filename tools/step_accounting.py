@@ -284,24 +284,55 @@ def main():
 
     times = []
     for level in range(8):
-        dt = timed_step(build_truncated_loss(st, level))
+        # transient tunnel errors must not kill a mostly-done run: retry the
+        # level once after a pause (compile cache makes this cheap), else
+        # re-raise -- a missing early level leaves nothing to attribute
+        try:
+            dt = timed_step(build_truncated_loss(st, level))
+        except Exception as e:  # noqa: BLE001 - tunnel InvalidArgument etc.
+            print(f"level {level} failed ({e}); retrying in 120 s",
+                  file=sys.stderr)
+            time.sleep(120)
+            dt = timed_step(build_truncated_loss(st, level))
         times.append(dt)
+        # cumulative levels are supersets: cum must be monotone. A negative
+        # delta means the PREVIOUS level's blocks were all stall-inflated
+        # (seen twice on the tunnel: round-5e smoothness -24.6, round-5h F=5
+        # -16.3); re-time it and keep the min.
+        for _attempt in range(2):
+            if not (len(times) >= 2 and times[-1] < times[-2]):
+                break
+            lvl_prev = len(times) - 2
+            print(f"monotonicity: re-timing level {lvl_prev} "
+                  f"({times[lvl_prev]*1e3:.1f} ms > level {level} "
+                  f"{times[-1]*1e3:.1f} ms)", file=sys.stderr)
+            redo = timed_step(build_truncated_loss(st, lvl_prev))
+            if redo >= times[lvl_prev]:
+                break  # reproduces: accept the (unusual) non-monotonicity
+            times[lvl_prev] = redo
         delta = dt - (times[level - 1] if level else 0.0)
         print(f"level {level} {LEVEL_NAMES[level]:<24} cum {dt*1e3:7.1f} ms"
               f"   delta {delta*1e3:7.1f} ms", file=sys.stderr)
 
-    # the production step for the residual (BN stat plumbing, metrics dict)
-    step_fn = make_train_step(st, opt)
-    s, m = step_fn(state, batch, jax.random.PRNGKey(1))
-    float(m["loss"])
-    full_dt = float("inf")
-    for b in range(args.blocks):
-        t0 = time.perf_counter()
-        s = state
-        for i in range(args.iters):
-            s, m = step_fn(s, batch, jax.random.PRNGKey(2 + i))
+    # the production step for the residual (BN stat plumbing, metrics dict).
+    # A tunnel error here must not lose the completed level data: fall back
+    # to the cum-level-7 time (the residual is then reported as 0/unknown).
+    try:
+        step_fn = make_train_step(st, opt)
+        s, m = step_fn(state, batch, jax.random.PRNGKey(1))
         float(m["loss"])
-        full_dt = min(full_dt, (time.perf_counter() - t0) / args.iters)
+        full_dt = float("inf")
+        for b in range(args.blocks):
+            t0 = time.perf_counter()
+            s = state
+            for i in range(args.iters):
+                s, m = step_fn(s, batch, jax.random.PRNGKey(2 + i))
+            float(m["loss"])
+            full_dt = min(full_dt, (time.perf_counter() - t0) / args.iters)
+    except Exception as e:  # noqa: BLE001
+        print(f"full-step timing failed ({e}); reporting cum level 7 only",
+              file=sys.stderr)
+        full_dt = times[-1]
 
     comp = {LEVEL_NAMES[i]: round((times[i] - (times[i - 1] if i else 0.0)) * 1e3, 1)
             for i in range(8)}
