@@ -52,6 +52,14 @@ TILE_W = 128
 import os as _os
 
 BLOCK_H = int(_os.environ.get("BBD_WARP_BLOCK_H", "64"))
+# Experimental: skip band rows with no bilinear hits inside each visited
+# (band, block) pair. The bounding-box sweep charges 8 rows x 2 lane-gathers
+# per visit regardless of hits; with realistic poses an output subtile's
+# y-span covers ~9-10 consecutive source rows split over ~2 bands, so
+# roughly half the row iterations gather nothing. Costs one vector
+# any-reduce + branch per row and per-row scratch accumulation. A/B via
+# env; exactness covered by tests/test_warp_pallas.py in interpret mode.
+ROW_SKIP = bool(int(_os.environ.get("BBD_WARP_ROW_SKIP", "0")))
 
 
 def _tile_indices(px, py):
@@ -166,6 +174,29 @@ def _sweep_packed(src_ref, px, py, a00, a01, a10, a11):
                 m01 = in_q0 & (g1 == g)
                 m10 = in_q1 & (g0 == g)
                 m11 = in_q1 & (g1 == g)
+                if ROW_SKIP:
+                    for rr in range(TILE_H):
+                        act00 = m00 & (r0 == rr)
+                        act01 = m01 & (r0 == rr)
+                        act10 = m10 & (r1 == rr)
+                        act11 = m11 & (r1 == rr)
+
+                        def row_visit(rr=rr, act00=act00, act01=act01,
+                                      act10=act10, act11=act11):
+                            row = jnp.broadcast_to(
+                                blk[rr][None, :], (TILE_H, TILE_W)
+                            )
+                            v_x0 = jnp.take_along_axis(row, xl0, axis=1)
+                            v_x1 = jnp.take_along_axis(row, xl1, axis=1)
+                            a00[:] = a00[:] + jnp.where(act00, v_x0, 0)
+                            a01[:] = a01[:] + jnp.where(act01, v_x1, 0)
+                            a10[:] = a10[:] + jnp.where(act10, v_x0, 0)
+                            a11[:] = a11[:] + jnp.where(act11, v_x1, 0)
+
+                        pl.when(jnp.any(act00 | act01 | act10 | act11))(
+                            row_visit
+                        )
+                    return
                 acc00, acc01, acc10, acc11 = a00[:], a01[:], a10[:], a11[:]
                 for rr in range(TILE_H):
                     row = jnp.broadcast_to(blk[rr][None, :], (TILE_H, TILE_W))
