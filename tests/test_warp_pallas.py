@@ -132,3 +132,68 @@ class TestCornerWarp:
         out = np.asarray(bilinear_sample_corner_u8(jnp.asarray(img), jnp.asarray(grid), interpret=True))
         ref = _torch_ref(img.astype(np.float32) / 255.0, grid)
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestRowSkipVariant:
+    """BBD_WARP_ROW_SKIP=1 (ops/warp_pallas.py:62) must be bit-identical to
+    the default sweep. The flag is read at import, and flipping the module
+    global in-process would race jax's tracing caches, so the variant runs
+    in a subprocess with the env set and ships its outputs back via npz."""
+
+    def test_rowskip_outputs_and_grads_match_default(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        rng = np.random.default_rng(21)
+        img_u8 = rng.integers(0, 256, (2, 24, 128, 3), dtype=np.uint8)
+        imgf = rng.random((1, 40, 256, 3)).astype(np.float32)
+        grid_u8 = ((rng.random((2, 24, 128, 2)) * 2 - 1) * 1.1).astype(np.float32)
+        gridf = ((rng.random((1, 40, 256, 2)) * 2 - 1) * 1.15).astype(np.float32)
+        inp = tmp_path / "inp.npz"
+        out = tmp_path / "out.npz"
+        np.savez(inp, img_u8=img_u8, grid_u8=grid_u8, imgf=imgf, gridf=gridf)
+
+        prog = (
+            "import numpy as np, jax, jax.numpy as jnp;"
+            "import sys;"
+            "from baseboostdepth_tpu.ops import warp_pallas as wp;"
+            "assert wp.ROW_SKIP, 'env did not reach the module';"
+            "d = np.load(sys.argv[1]);"
+            "corner = np.asarray(wp.bilinear_sample_corner_u8("
+            "    jnp.asarray(d['img_u8']), jnp.asarray(d['grid_u8']), interpret=True));"
+            "gg = np.asarray(jax.grad(lambda g: jnp.sum(wp.bilinear_sample_corner_u8("
+            "    jnp.asarray(d['img_u8']), g, interpret=True) ** 2))(jnp.asarray(d['grid_u8'])));"
+            "flt = np.asarray(wp.bilinear_sample_pallas("
+            "    jnp.asarray(d['imgf']), jnp.asarray(d['gridf']), interpret=True));"
+            "np.savez(sys.argv[2], corner=corner, gg=gg, flt=flt)"
+        )
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env.update(JAX_PLATFORMS="cpu", BBD_WARP_ROW_SKIP="1")
+        subprocess.run(
+            [sys.executable, "-c", prog, str(inp), str(out)],
+            check=True, env=env, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        got = np.load(out)
+
+        from baseboostdepth_tpu.ops import warp_pallas as wp
+
+        assert not wp.ROW_SKIP  # this process runs the default sweep
+        corner = np.asarray(
+            wp.bilinear_sample_corner_u8(jnp.asarray(img_u8), jnp.asarray(grid_u8), interpret=True)
+        )
+        gg = np.asarray(
+            jax.grad(
+                lambda g: jnp.sum(
+                    wp.bilinear_sample_corner_u8(jnp.asarray(img_u8), g, interpret=True) ** 2
+                )
+            )(jnp.asarray(grid_u8))
+        )
+        flt = np.asarray(
+            wp.bilinear_sample_pallas(jnp.asarray(imgf), jnp.asarray(gridf), interpret=True)
+        )
+        np.testing.assert_array_equal(got["corner"], corner)
+        np.testing.assert_array_equal(got["gg"], gg)
+        np.testing.assert_array_equal(got["flt"], flt)
