@@ -58,7 +58,12 @@ BLOCK_H = int(_os.environ.get("BBD_WARP_BLOCK_H", "64"))
 # y-span covers ~9-10 consecutive source rows split over ~2 bands, so
 # roughly half the row iterations gather nothing. Costs one vector
 # any-reduce + branch per row and per-row scratch accumulation. A/B via
-# env; exactness covered by tests/test_warp_pallas.py in interpret mode.
+# env; exactness: tests/test_warp_pallas.py::TestRowSkipVariant (bit-
+# identical, subprocess env). REJECTED on TPU v5e: full step 441.9 ms vs
+# 192.6 control (docs/results/bench_worst_rowskip_r5h.json) — the
+# per-row pl.when branch + scratch read-modify-write swamps the skipped
+# gathers; Mosaic keeps the branchless 8-row unrolled sweep in registers.
+# Kept selectable for other geometries.
 ROW_SKIP = bool(int(_os.environ.get("BBD_WARP_ROW_SKIP", "0")))
 
 
